@@ -1,0 +1,208 @@
+"""Public API: drop-in parity with the reference ``dmesh_renderer`` package.
+
+Mirrors dmesh_renderer/__init__.py of the reference: the same six public
+symbols (`TriRenderSettings`, `render_tri`, `TriRenderer`,
+`TetRenderSettings`, `render_tet`, `TetRenderer`), the same call signatures,
+dtype coercions and matrix transposition at the module boundary
+(__init__.py:219-220, :471-483), and the same output shapes
+([B,3,H,W] color, [B,1,H,W] depth, [B,H,W] bool active).
+
+Inputs may be JAX arrays, NumPy arrays, or torch tensors (converted via
+NumPy); outputs are JAX arrays. The autograd-Function plumbing of the
+reference (_RenderTri/_RenderTet, __init__.py:45-170, :277-424) is replaced
+by ``jax.custom_vjp`` inside the ops modules -- `render_tri`/`render_tet` are
+ordinary traceable, differentiable JAX functions, so they compose with `jit`,
+`grad`, `vmap` and `shard_map`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _as_jax(x: Any, dtype=None) -> Array:
+    """Convert torch / numpy / python inputs to a JAX array."""
+    if hasattr(x, "detach"):  # torch tensor
+        x = x.detach().cpu().numpy()
+    arr = jnp.asarray(x)
+    if dtype is not None and arr.dtype != dtype:
+        arr = arr.astype(dtype)
+    return arr
+
+
+# =============================================================================
+# Tri renderer
+# =============================================================================
+
+class TriRenderSettings(NamedTuple):
+    """Reference: dmesh_renderer/__init__.py:13-16."""
+    image_height: int
+    image_width: int
+    bg: Any  # [3] background color
+
+
+def render_tri(
+    verts: Array,
+    faces: Array,
+    verts_color: Array,
+    faces_opacity: Array,
+    mv_mats: Array,
+    proj_mats: Array,
+    verts_depth: Array,
+    faces_intense: Array,
+    render_settings: TriRenderSettings,
+):
+    """Functional tri renderer (reference: dmesh_renderer/__init__.py:18-43).
+
+    Expects matrices already transposed (as `_RenderTri` receives them from
+    `TriRenderer`). Returns (color [B,3,H,W], depth [B,1,H,W]); depth range
+    [-1, 1] semantics follow the reference (vert depths are user-provided).
+    """
+    from .ops.tri import render_tri_auto
+
+    mv_t = _as_jax(mv_mats, jnp.float32)
+    proj_t = _as_jax(proj_mats, jnp.float32)
+    inv_mv_t = jnp.linalg.inv(mv_t)
+    inv_proj_t = jnp.linalg.inv(proj_t)
+
+    return render_tri_auto(
+        _as_jax(verts, jnp.float32),
+        _as_jax(faces, jnp.int32),
+        _as_jax(verts_color, jnp.float32),
+        _as_jax(faces_opacity, jnp.float32),
+        mv_t,
+        proj_t,
+        inv_mv_t,
+        inv_proj_t,
+        _as_jax(verts_depth, jnp.float32),
+        _as_jax(faces_intense, jnp.float32),
+        _as_jax(render_settings.bg, jnp.float32),
+        int(render_settings.image_height),
+        int(render_settings.image_width),
+    )
+
+
+class TriRenderer:
+    """Module-style wrapper (reference: dmesh_renderer/__init__.py:172-225).
+
+    Casts ``faces`` to int32 and transposes the modelview/projection matrices
+    exactly like the reference (__init__.py:216-220), so user code written
+    against the reference drops in unchanged.
+    """
+
+    def __init__(self, render_settings: TriRenderSettings):
+        self.render_settings = render_settings
+
+    def __call__(self, verts, faces, verts_color, faces_opacity,
+                 mv_mats, proj_mats, verts_depth, faces_intense):
+        mv = _as_jax(mv_mats, jnp.float32)
+        proj = _as_jax(proj_mats, jnp.float32)
+        return render_tri(
+            verts,
+            _as_jax(faces, jnp.int32),
+            verts_color,
+            faces_opacity,
+            jnp.swapaxes(mv, 1, 2),
+            jnp.swapaxes(proj, 1, 2),
+            verts_depth,
+            faces_intense,
+            self.render_settings,
+        )
+
+    # torch.nn.Module-style alias
+    forward = __call__
+
+
+# =============================================================================
+# Tet renderer
+# =============================================================================
+
+class TetRenderSettings(NamedTuple):
+    """Reference: dmesh_renderer/__init__.py:237-241."""
+    image_height: int
+    image_width: int
+    bg: Any
+    ray_random_seed: int = 0
+
+
+def render_tet(
+    verts: Array,
+    faces: Array,
+    verts_color: Array,
+    faces_opacity: Array,
+    mv_mats: Array,
+    proj_mats: Array,
+    verts_depth: Array,
+    faces_intense: Array,
+    tets: Array,
+    face_tets: Array,
+    tet_faces: Array,
+    render_settings: TetRenderSettings,
+):
+    """Functional tet renderer (reference: dmesh_renderer/__init__.py:243-275).
+
+    Returns (color [B,3,H,W], depth [B,1,H,W], active [B,H,W] bool).
+    ``verts_depth`` is accepted for API parity but unused
+    (__init__.py:448-450).
+    """
+    from .ops.tet import render_tet_core
+
+    mv_t = _as_jax(mv_mats, jnp.float32)
+    proj_t = _as_jax(proj_mats, jnp.float32)
+    inv_mv_t = jnp.linalg.inv(mv_t)
+    inv_proj_t = jnp.linalg.inv(proj_t)
+
+    color, depth, active = render_tet_core(
+        _as_jax(verts, jnp.float32),
+        _as_jax(faces, jnp.int32),
+        _as_jax(verts_color, jnp.float32),
+        _as_jax(faces_opacity, jnp.float32),
+        mv_t,
+        proj_t,
+        inv_mv_t,
+        inv_proj_t,
+        _as_jax(faces_intense, jnp.float32),
+        _as_jax(tets, jnp.int32),
+        _as_jax(face_tets, jnp.int32),
+        _as_jax(tet_faces, jnp.int32),
+        _as_jax(render_settings.bg, jnp.float32),
+        int(render_settings.image_height),
+        int(render_settings.image_width),
+        int(render_settings.ray_random_seed),
+    )
+    return color, depth, active
+
+
+class TetRenderer:
+    """Module-style wrapper (reference: dmesh_renderer/__init__.py:426-487)."""
+
+    def __init__(self, render_settings: TetRenderSettings):
+        self.render_settings = render_settings
+
+    def __call__(self, verts, faces, verts_color, faces_opacity,
+                 mv_mats, proj_mats, verts_depth, faces_intense,
+                 tets, face_tets, tet_faces):
+        mv = _as_jax(mv_mats, jnp.float32)
+        proj = _as_jax(proj_mats, jnp.float32)
+        return render_tet(
+            _as_jax(verts, jnp.float32),
+            _as_jax(faces, jnp.int32),
+            _as_jax(verts_color, jnp.float32),
+            _as_jax(faces_opacity, jnp.float32),
+            jnp.swapaxes(mv, 1, 2),
+            jnp.swapaxes(proj, 1, 2),
+            _as_jax(verts_depth, jnp.float32),
+            _as_jax(faces_intense, jnp.float32),
+            _as_jax(tets, jnp.int32),
+            _as_jax(face_tets, jnp.int32),
+            _as_jax(tet_faces, jnp.int32),
+            self.render_settings,
+        )
+
+    forward = __call__
