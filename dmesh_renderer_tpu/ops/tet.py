@@ -1,0 +1,662 @@
+"""Tet renderer: ray-marching through a tetrahedral tessellation (pure JAX).
+
+Renders the triangle faces of a tet tessellation with *exact* depth ordering
+by walking the ray through tet connectivity, like the reference
+cuda_renderer/ (forward.cu:485-815, backward.cu:86-487). Gradients are
+produced only for vertex colors and face opacities
+(dmesh_renderer/__init__.py:447, render.h:84-111).
+
+TPU design notes (vs. the CUDA original):
+  * The per-pixel ``while(!done)`` march (data-dependent trip count) becomes
+    one *vectorized* ``lax.while_loop`` over all pixels in lockstep with a
+    hard step cap; per-pixel completion is a ``done`` mask. The loop exits
+    when every pixel is done, so wall-clock follows the longest walk in the
+    batch -- same as a CUDA warp's divergence cost at tile granularity.
+  * The tile-binned first-hit search (firstIntersectCUDA, forward.cu:298-445,
+    with its min-depth early-out) becomes a chunked min-reduction over all
+    candidate faces in min-depth sorted order: argmin over ray parameter t
+    with first-in-sorted-order tie-breaking. Same result, no per-pixel
+    data-dependent list walk.
+  * Gradient scatter (atomicAdd, backward.cu:353-360) becomes deterministic
+    ``.at[].add`` scatter-adds.
+  * The walk's invariant-violation semantics are preserved exactly: pixels
+    whose walk breaks (cnt != 3 / entry normal not opposing / next_face_cnt
+    != 1) become *inactive* and render pure background with active=0
+    (forward.cu:667-759, :798-814).
+
+The ``active`` mask contract: True only for pixels whose march terminated
+validly (transmittance exhausted or exited the tessellation). Rays that miss
+the tessellation entirely are inactive (forward.cu:557-558 leaves
+this_is_active false).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..utils.config import DEFAULT_MAX_MARCH_STEPS, T_EPS, TILE_X, TILE_Y
+from .geometry import (
+    clamp_w,
+    face_outward_normal,
+    preprocess_faces,
+    project_verts,
+    ray_tri_intersection,
+    strict_hit,
+    transform_point43,
+    transform_point44,
+)
+from .rays import generate_rays
+
+Array = jax.Array
+
+# Chunk of faces processed per first-hit scan step (VPU-friendly width).
+FIRST_HIT_CHUNK = 128
+
+
+# =============================================================================
+# First-hit search
+# =============================================================================
+
+def _first_intersection(verts, faces, valid, order, ray_o, ray_d):
+    """First (smallest ray parameter t) strict hit per pixel.
+
+    verts [P,3]; faces [F,3]; valid [B,F]; order [B,F] (min-depth sorted);
+    ray_o/ray_d [B,N,3]. Returns (first_face [B,N] int32 (-1 = miss),
+    t/u/v of the hit [B,N]).
+
+    Reference: firstIntersectCUDA (cuda_renderer/forward.cu:298-445). The
+    reference walks the sorted tile list with a depth-window early-out and
+    keeps the strictly-smallest t (ties: first in sorted order wins,
+    forward.cu:410). A full min-reduction in sorted order reproduces that.
+    """
+    B, F = order.shape
+    N = ray_o.shape[1]
+
+    pad = (-F) % FIRST_HIT_CHUNK
+    order_p = jnp.pad(order, ((0, 0), (0, pad)))
+    pos_p = jnp.pad(
+        jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None], (B, F)),
+        ((0, 0), (0, pad)), constant_values=jnp.int32(2**30),
+    )
+    valid_s = jnp.take_along_axis(valid, order, axis=1)
+    valid_p = jnp.pad(valid_s, ((0, 0), (0, pad)))
+
+    n_chunks = order_p.shape[1] // FIRST_HIT_CHUNK
+    order_c = order_p.reshape(B, n_chunks, FIRST_HIT_CHUNK).swapaxes(0, 1)
+    pos_c = pos_p.reshape(B, n_chunks, FIRST_HIT_CHUNK).swapaxes(0, 1)
+    valid_c = valid_p.reshape(B, n_chunks, FIRST_HIT_CHUNK).swapaxes(0, 1)
+
+    big = jnp.float32(np.inf)
+
+    def step(carry, xs):
+        best_t, best_pos, best_face, best_u, best_v = carry
+        fids, pos, vmask = xs  # [B, C]
+        fv = faces[fids]  # [B, C, 3]
+        p = verts[fv]  # [B, C, 3, 3]
+        tuv, nd = ray_tri_intersection(
+            ray_o[:, :, None, :], ray_d[:, :, None, :],
+            p[:, None, :, 0], p[:, None, :, 1], p[:, None, :, 2],
+        )  # [B, N, C, 3]
+        hit = strict_hit(tuv, nd) & vmask[:, None, :]
+        # lexicographic argmin over the chunk axis on (t, sorted position):
+        # smallest t wins; exact ties go to the first face in min-depth
+        # sorted order (forward.cu:410 uses strict <).
+        key_t = jnp.where(hit, tuv[..., 0], big)
+        key_pos = jnp.where(hit, pos[:, None, :], jnp.int32(2**30))
+        min_t = jnp.min(key_t, axis=-1, keepdims=True)
+        is_min = key_t <= min_t
+        pos_masked = jnp.where(is_min, key_pos, jnp.int32(2**30))
+        cand = jnp.argmin(pos_masked, axis=-1)  # [B, N]
+
+        c_t = jnp.take_along_axis(key_t, cand[..., None], axis=-1)[..., 0]
+        c_pos = jnp.take_along_axis(key_pos, cand[..., None], axis=-1)[..., 0]
+        c_face = jnp.take_along_axis(
+            jnp.broadcast_to(fids[:, None, :], key_t.shape).astype(jnp.int32),
+            cand[..., None], axis=-1)[..., 0]
+        c_u = jnp.take_along_axis(tuv[..., 1], cand[..., None], axis=-1)[..., 0]
+        c_v = jnp.take_along_axis(tuv[..., 2], cand[..., None], axis=-1)[..., 0]
+
+        better = (c_t < best_t) | ((c_t == best_t) & (c_pos < best_pos))
+        best_t = jnp.where(better, c_t, best_t)
+        best_pos = jnp.where(better, c_pos, best_pos)
+        best_face = jnp.where(better, c_face, best_face)
+        best_u = jnp.where(better, c_u, best_u)
+        best_v = jnp.where(better, c_v, best_v)
+        return (best_t, best_pos, best_face, best_u, best_v), None
+
+    init = (
+        jnp.full((B, N), big),
+        jnp.full((B, N), jnp.int32(2**30)),
+        jnp.full((B, N), jnp.int32(-1)),
+        jnp.zeros((B, N), jnp.float32),
+        jnp.zeros((B, N), jnp.float32),
+    )
+    (best_t, _pos, best_face, best_u, best_v), _ = lax.scan(
+        step, init, (order_c, pos_c, valid_c)
+    )
+    miss = ~jnp.isfinite(best_t)
+    best_face = jnp.where(miss, -1, best_face)
+    best_t = jnp.where(miss, 0.0, best_t)
+    return best_face, best_t, best_u, best_v
+
+
+# =============================================================================
+# Connectivity helpers
+# =============================================================================
+
+def _outward_normal_of(verts, faces, tets, face_idx, tet_idx):
+    """Outward normal of face_idx w.r.t. tet_idx, batched over [B, N].
+
+    Indices may be invalid (-1) on masked lanes; they are clamped and the
+    caller must mask the result.
+    """
+    f = jnp.maximum(face_idx, 0)
+    t = jnp.maximum(tet_idx, 0)
+    fp = verts[faces[f]]  # [..., 3, 3]
+    tv = verts[tets[t]]  # [..., 4, 3]
+    center = jnp.mean(tv, axis=-2)
+    return face_outward_normal(fp[..., 0, :], fp[..., 1, :], fp[..., 2, :],
+                               center)
+
+
+def _step_through_tet(verts, faces, tets, tet_faces, face_tets,
+                      curr_face, curr_tet, ray_o, ray_d, direction):
+    """One connectivity step of the march (shared by fwd and bwd).
+
+    direction=+1: forward walk (exit face: outward normal . d > 0,
+    entry-face normal must satisfy . d < 0) -- forward.cu:672-775.
+    direction=-1: backward walk (signs flipped) -- backward.cu:372-484.
+
+    Returns (err, next_face, next_tet, next_t, next_u, next_v), where err
+    marks the reference's invariant violations (cases 1-3).
+    """
+    ct = jnp.maximum(curr_tet, 0)
+    tf = tet_faces[ct]  # [B, N, 4]
+    other = tf != curr_face[..., None]
+    cnt = jnp.sum(other.astype(jnp.int32), axis=-1)
+    err1 = cnt != 3  # error case 1 (forward.cu:687-691)
+
+    # entry-face normal orientation check (error case 2, forward.cu:704-717)
+    n_entry = _outward_normal_of(verts, faces, tets, curr_face, curr_tet)
+    d_entry = jnp.sum(n_entry * ray_d, axis=-1)
+    err2 = jnp.where(direction > 0, d_entry >= 0.0, d_entry <= 0.0)
+
+    # candidate faces
+    fj = jnp.maximum(tf, 0)  # [B, N, 4]
+    pj = verts[faces[fj]]  # [B, N, 4, 3, 3]
+    tuv, nd = ray_tri_intersection(
+        ray_o[..., None, :], ray_d[..., None, :],
+        pj[..., 0, :], pj[..., 1, :], pj[..., 2, :],
+    )  # [B, N, 4, 3]
+    hit = strict_hit(tuv, nd)
+    n_j = _outward_normal_of(
+        verts, faces, tets,
+        tf, curr_tet[..., None],
+    )  # [B, N, 4, 3]
+    dot_j = jnp.sum(n_j * ray_d[..., None, :], axis=-1)
+    dir_ok = jnp.where(direction > 0, dot_j > 0.0, dot_j < 0.0)
+    exit_j = other & hit & dir_ok  # [B, N, 4]
+
+    n_exit = jnp.sum(exit_j.astype(jnp.int32), axis=-1)
+    err3 = n_exit != 1  # error case 3 (forward.cu:755-759)
+
+    # reference keeps the LAST matching candidate in iteration order
+    jidx = jnp.broadcast_to(
+        jnp.arange(4, dtype=jnp.int32), exit_j.shape
+    )
+    sel = jnp.max(jnp.where(exit_j, jidx, -1), axis=-1)
+    sel_safe = jnp.maximum(sel, 0)
+    next_face = jnp.take_along_axis(tf, sel_safe[..., None], axis=-1)[..., 0]
+    next_t = jnp.take_along_axis(
+        tuv[..., 0], sel_safe[..., None], axis=-1)[..., 0]
+    next_u = jnp.take_along_axis(
+        tuv[..., 1], sel_safe[..., None], axis=-1)[..., 0]
+    next_v = jnp.take_along_axis(
+        tuv[..., 2], sel_safe[..., None], axis=-1)[..., 0]
+
+    # the other tet across next_face (forward.cu:761-768: first entry that is
+    # neither curr_tet nor -1)
+    ft = face_tets[jnp.maximum(next_face, 0)]  # [B, N, 2]
+    c0, c1 = ft[..., 0], ft[..., 1]
+    ok0 = (c0 != curr_tet) & (c0 != -1)
+    ok1 = (c1 != curr_tet) & (c1 != -1)
+    next_tet = jnp.where(ok0, c0, jnp.where(ok1, c1, -1))
+
+    err = err1 | err2 | err3
+    return err, next_face, next_tet, next_t, next_u, next_v
+
+
+def _march_state_gather(verts_color, faces, faces_opacity, faces_intense,
+                        curr_face):
+    """Per-pixel face attribute gathers for the current face."""
+    f = jnp.maximum(curr_face, 0)
+    fv = faces[f]  # [B, N, 3]
+    c = verts_color[fv]  # [B, N, 3, 3]
+    alpha = faces_opacity[f]  # [B, N]
+    B = curr_face.shape[0]
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    inten = faces_intense[b_idx, f]  # [B, N]
+    return fv, c, alpha, inten
+
+
+def _point_depth(ray_o, ray_d, t, mv_t, proj_t):
+    """NDC depth of the 3D point ray_o + t*ray_d (forward.cu:628-632)."""
+    p = ray_o + ray_d * t[..., None]
+    pv = transform_point43(p, mv_t[:, None, :, :])
+    pp = transform_point44(pv, proj_t[:, None, :, :])
+    return pp[..., 2] / clamp_w(pp[..., 3])
+
+
+# =============================================================================
+# Forward march
+# =============================================================================
+
+def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
+                        proj_t, inv_mv_t, inv_proj_t, faces_intense, tets,
+                        face_tets, tet_faces, bg, height, width, seed,
+                        max_steps):
+    B = mv_t.shape[0]
+    N = height * width
+
+    ndc, img = project_verts(verts, mv_t, proj_t, width, height)
+    pre = preprocess_faces(ndc, img, faces, width, height, TILE_X, TILE_Y)
+    sort_key = jnp.where(pre["valid"], pre["min_depth"], jnp.inf)
+    order = jnp.argsort(sort_key, axis=1, stable=True)
+
+    ray_o, ray_d = generate_rays(
+        inv_mv_t, inv_proj_t, width, height, norm_eps_mode="tet",
+        jitter_seed=seed if seed > 0 else None,
+    )
+    ray_o = ray_o.reshape(B, N, 3)
+    ray_d = ray_d.reshape(B, N, 3)
+
+    first_face, rt, iu, iv = _first_intersection(
+        verts, faces, pre["valid"], order, ray_o, ray_d
+    )
+
+    # starting tet: the side whose outward first-face normal opposes the ray
+    # (forward.cu:420-444; when both qualify the second entry wins)
+    ff_safe = jnp.maximum(first_face, 0)
+    ft = face_tets[ff_safe]  # [B, N, 2]
+    first_tet = jnp.full_like(first_face, -1)
+    for i in range(2):
+        cand = ft[..., i]
+        n = _outward_normal_of(verts, faces, tets, first_face, cand)
+        opposes = jnp.sum(n * ray_d, axis=-1) < 0.0
+        take = (cand >= 0) & opposes & (first_face >= 0)
+        first_tet = jnp.where(take, cand, first_tet)
+
+    done0 = (first_face == -1) | (first_tet == -1)
+
+    state = dict(
+        curr_face=first_face,
+        curr_tet=first_tet,
+        curr_t=rt,
+        curr_u=iu,
+        curr_v=iv,
+        C=jnp.zeros((B, N, 3), jnp.float32),
+        D=jnp.zeros((B, N), jnp.float32),
+        log_T=jnp.zeros((B, N), jnp.float32),
+        prev_log_T=jnp.zeros((B, N), jnp.float32),
+        last_face=jnp.full((B, N), jnp.int32(-1)),
+        last_tet=jnp.full((B, N), jnp.int32(-1)),
+        n_contrib=jnp.zeros((B, N), jnp.int32),
+        active=jnp.zeros((B, N), jnp.bool_),
+        done=done0,
+        step=jnp.int32(0),
+    )
+
+    def cond(s):
+        return (s["step"] < max_steps) & jnp.any(~s["done"])
+
+    def body(s):
+        alive = ~s["done"]
+        cf, ct = s["curr_face"], s["curr_tet"]
+
+        # --- 1. blend current face (forward.cu:597-653) ---
+        fv, c3, alpha, inten = _march_state_gather(
+            verts_color, faces, faces_opacity, faces_intense, cf
+        )
+        col = (
+            c3[..., 0, :]
+            + (c3[..., 1, :] - c3[..., 0, :]) * s["curr_u"][..., None]
+            + (c3[..., 2, :] - c3[..., 0, :]) * s["curr_v"][..., None]
+        ) * inten[..., None]
+        tmp_T = jnp.exp(s["log_T"])
+        w = jnp.where(alive, tmp_T * alpha, 0.0)
+        C = s["C"] + col * w[..., None]
+        dep = _point_depth(ray_o, ray_d, s["curr_t"], mv_t, proj_t)
+        D = s["D"] + dep * w
+
+        prev_log_T = jnp.where(alive, s["log_T"], s["prev_log_T"])
+        log_T_new = jnp.where(
+            alpha < 1.0,
+            s["log_T"] + jnp.log(jnp.maximum(1.0 - alpha, 1e-37)),
+            jnp.full_like(s["log_T"], np.log(T_EPS * 0.1)),
+        )
+        log_T = jnp.where(alive, log_T_new, s["log_T"])
+
+        t_exhausted = jnp.exp(log_T) < T_EPS
+
+        n_contrib = s["n_contrib"] + alive.astype(jnp.int32)
+        last_face = jnp.where(alive, cf, s["last_face"])
+        last_tet = jnp.where(alive, ct, s["last_tet"])
+
+        active = s["active"] | (alive & t_exhausted)
+        newly_done = alive & t_exhausted
+
+        # --- 2. exited the tessellation? (forward.cu:667-670) ---
+        no_tet = alive & (ct == -1)
+        active = active | no_tet
+        newly_done = newly_done | no_tet
+
+        # --- 3. walk to the next face (forward.cu:672-775) ---
+        walk = alive & ~newly_done
+        err, nf, nt, t2, u2, v2 = _step_through_tet(
+            verts, faces, tets, tet_faces, face_tets, cf, ct,
+            ray_o, ray_d, +1,
+        )
+        newly_done = newly_done | (walk & err)
+        advance = walk & ~err
+
+        return dict(
+            curr_face=jnp.where(advance, nf, cf),
+            curr_tet=jnp.where(advance, nt, ct),
+            curr_t=jnp.where(advance, t2, s["curr_t"]),
+            curr_u=jnp.where(advance, u2, s["curr_u"]),
+            curr_v=jnp.where(advance, v2, s["curr_v"]),
+            C=C,
+            D=D,
+            log_T=log_T,
+            prev_log_T=prev_log_T,
+            last_face=last_face,
+            last_tet=last_tet,
+            n_contrib=n_contrib,
+            active=active,
+            done=s["done"] | newly_done,
+            step=s["step"] + 1,
+        )
+
+    s = lax.while_loop(cond, body, state)
+
+    final_T = jnp.exp(s["log_T"])
+    active = s["active"]
+    color = jnp.where(
+        active[..., None],
+        s["C"] + final_T[..., None] * bg[None, None, :],
+        jnp.broadcast_to(bg[None, None, :], (B, N, 3)),
+    )
+    depth = jnp.where(active, s["D"] + final_T * 1.0, 1.0)
+
+    color = color.reshape(B, height, width, 3).transpose(0, 3, 1, 2)
+    depth = depth.reshape(B, 1, height, width)
+    active_img = active.reshape(B, height, width)
+
+    saved = dict(
+        first_face=first_face,
+        last_face=s["last_face"],
+        last_tet=s["last_tet"],
+        final_log_T=s["log_T"],
+        final_prev_log_T=s["prev_log_T"],
+        n_contrib=s["n_contrib"],
+        is_active=active,
+    )
+    return color, depth, active_img, saved
+
+
+# =============================================================================
+# Backward march
+# =============================================================================
+
+def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
+                         proj_t, inv_mv_t, inv_proj_t, faces_intense, tets,
+                         face_tets, tet_faces, bg, height, width, seed,
+                         max_steps, saved, dL_dcolor, dL_ddepth):
+    """Reverse march (backward.cu:86-487): gradients for verts_color and
+    faces_opacity only, accumulated deterministically."""
+    B = mv_t.shape[0]
+    P = verts.shape[0]
+    F = faces.shape[0]
+    N = height * width
+
+    ray_o, ray_d = generate_rays(
+        inv_mv_t, inv_proj_t, width, height, norm_eps_mode="tet",
+        jitter_seed=seed if seed > 0 else None,
+    )
+    ray_o = ray_o.reshape(B, N, 3)
+    ray_d = ray_d.reshape(B, N, 3)
+
+    gcol = dL_dcolor.transpose(0, 2, 3, 1).reshape(B, N, 3)
+    gdep = dL_ddepth.reshape(B, N)
+    bg_dot = jnp.einsum("c,bpc->bp", bg, gcol) + gdep  # bg + depth-bg terms
+
+    final_log_T = saved["final_log_T"]
+    final_prev_log_T = saved["final_prev_log_T"]
+    final_T = jnp.exp(final_log_T)
+    final_prev_T = jnp.exp(final_prev_log_T)
+
+    last_face = saved["last_face"]
+    last_tet = saved["last_tet"]
+    first_face = saved["first_face"]
+
+    done0 = (~saved["is_active"]) | (last_face == -1)
+
+    # recompute (t, u, v) on the last face
+    lf_safe = jnp.maximum(last_face, 0)
+    p = verts[faces[lf_safe]]
+    tuv, _nd = ray_tri_intersection(
+        ray_o, ray_d, p[..., 0, :], p[..., 1, :], p[..., 2, :]
+    )
+
+    # flip to the entry-side tet (backward.cu:224-232: first face_tets entry
+    # that differs from last_tet)
+    ft = face_tets[lf_safe]
+    curr_tet0 = jnp.where(ft[..., 0] != last_tet, ft[..., 0], ft[..., 1])
+
+    state = dict(
+        curr_face=last_face,
+        curr_tet=curr_tet0,
+        curr_t=tuv[..., 0],
+        curr_u=tuv[..., 1],
+        curr_v=tuv[..., 2],
+        prev_log_T=final_prev_log_T,
+        first=jnp.ones((B, N), jnp.bool_),
+        last_alpha=jnp.zeros((B, N), jnp.float32),
+        last_color=jnp.zeros((B, N, 3), jnp.float32),
+        last_depth=jnp.zeros((B, N), jnp.float32),
+        accum_rec=jnp.zeros((B, N, 3), jnp.float32),
+        accum_recd=jnp.zeros((B, N), jnp.float32),
+        g_vcolor=jnp.zeros((P, 3), jnp.float32),
+        g_fopacity=jnp.zeros((F,), jnp.float32),
+        done=done0,
+        step=jnp.int32(0),
+    )
+
+    def cond(s):
+        return (s["step"] < max_steps) & jnp.any(~s["done"])
+
+    def body(s):
+        alive = ~s["done"]
+        cf, ct = s["curr_face"], s["curr_tet"]
+
+        fv, c3, alpha, inten = _march_state_gather(
+            verts_color, faces, faces_opacity, faces_intense, cf
+        )
+        i1 = s["curr_u"]
+        i2 = s["curr_v"]
+        i0 = 1.0 - i1 - i2
+        col = (
+            i0[..., None] * c3[..., 0, :]
+            + i1[..., None] * c3[..., 1, :]
+            + i2[..., None] * c3[..., 2, :]
+        ) * inten[..., None]
+        dep = _point_depth(ray_o, ray_d, s["curr_t"], mv_t, proj_t)
+
+        # reconstruct prev transmittance (backward.cu:273-277)
+        plt = jnp.where(
+            alive & ~s["first"],
+            s["prev_log_T"] - jnp.log(jnp.maximum(1.0 - alpha, 1e-37)),
+            s["prev_log_T"],
+        )
+        first = s["first"] & ~alive
+        prev_T = jnp.exp(plt)
+
+        accum_rec_new = (
+            s["last_alpha"][..., None] * s["last_color"]
+            + (1.0 - s["last_alpha"][..., None]) * s["accum_rec"]
+        )
+        accum_recd_new = (
+            s["last_alpha"] * s["last_depth"]
+            + (1.0 - s["last_alpha"]) * s["accum_recd"]
+        )
+
+        dL_dfcolor = gcol * (alpha * prev_T)[..., None]
+        dL_dop = (
+            jnp.sum((col - accum_rec_new) * gcol, axis=-1)
+            + (dep - accum_recd_new) * gdep
+        ) * prev_T
+
+        # background term (backward.cu:317-339)
+        bg_coef = jnp.where(
+            alpha == 1.0,
+            -final_prev_T,
+            -final_T / jnp.maximum(1.0 - alpha, 1e-37),
+        )
+        dL_dop = dL_dop + bg_coef * bg_dot
+
+        dL_dfcolor = jnp.where(alive[..., None], dL_dfcolor, 0.0)
+        dL_dop = jnp.where(alive, dL_dop, 0.0)
+
+        accum_rec = jnp.where(alive[..., None], accum_rec_new, s["accum_rec"])
+        accum_recd = jnp.where(alive, accum_recd_new, s["accum_recd"])
+        last_color = jnp.where(alive[..., None], col, s["last_color"])
+        last_depth = jnp.where(alive, dep, s["last_depth"])
+        last_alpha = jnp.where(alive, alpha, s["last_alpha"])
+
+        # scatter (flattened, masked lanes contribute zeros at index 0)
+        upd = dL_dfcolor[..., None, :] * (
+            jnp.stack([i0, i1, i2], axis=-1)[..., None]
+        ) * inten[..., None, None]  # [B, N, 3verts, 3ch]
+        fv_flat = fv.reshape(-1, 3)
+        g_vcolor = s["g_vcolor"].at[fv_flat].add(
+            upd.reshape(-1, 3, 3), mode="drop"
+        )
+        g_fopacity = s["g_fopacity"].at[
+            jnp.maximum(cf, 0).reshape(-1)
+        ].add(dL_dop.reshape(-1), mode="drop")
+
+        # terminate at the first face (backward.cu:363-366)
+        reached_first = alive & (cf == first_face)
+        newly_done = reached_first
+
+        # walk backward (backward.cu:372-484)
+        no_tet = alive & ~newly_done & (ct == -1)
+        newly_done = newly_done | no_tet
+        walk = alive & ~newly_done
+        err, nf, nt, t2, u2, v2 = _step_through_tet(
+            verts, faces, tets, tet_faces, face_tets, cf, ct,
+            ray_o, ray_d, -1,
+        )
+        newly_done = newly_done | (walk & err)
+        advance = walk & ~err
+
+        return dict(
+            curr_face=jnp.where(advance, nf, cf),
+            curr_tet=jnp.where(advance, nt, ct),
+            curr_t=jnp.where(advance, t2, s["curr_t"]),
+            curr_u=jnp.where(advance, u2, s["curr_u"]),
+            curr_v=jnp.where(advance, v2, s["curr_v"]),
+            prev_log_T=jnp.where(alive, plt, s["prev_log_T"]),
+            first=first,
+            last_alpha=last_alpha,
+            last_color=last_color,
+            last_depth=last_depth,
+            accum_rec=accum_rec,
+            accum_recd=accum_recd,
+            g_vcolor=g_vcolor,
+            g_fopacity=g_fopacity,
+            done=s["done"] | newly_done,
+            step=s["step"] + 1,
+        )
+
+    s = lax.while_loop(cond, body, state)
+    return s["g_vcolor"], s["g_fopacity"]
+
+
+# =============================================================================
+# custom_vjp wrapper
+# =============================================================================
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16))
+def render_tet_core(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
+                    inv_mv_t, inv_proj_t, faces_intense, tets, face_tets,
+                    tet_faces, bg, height, width, seed,
+                    max_steps=DEFAULT_MAX_MARCH_STEPS):
+    """Differentiable tet renderer.
+
+    Shapes (reference: dmesh_renderer/__init__.py:451-463): verts [P,3],
+    faces [F,3], verts_color [P,3], faces_opacity [F], mv_t/proj_t [B,4,4]
+    (transposed convention), faces_intense [B,F], tets [T,4],
+    face_tets [F,2], tet_faces [T,4], bg [3].
+
+    Returns (color [B,3,H,W], depth [B,1,H,W], active [B,H,W] bool).
+    Gradients flow only to verts_color and faces_opacity.
+    """
+    color, depth, active, _ = _render_tet_forward(
+        verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
+        inv_proj_t, faces_intense, tets, face_tets, tet_faces, bg,
+        height, width, seed, max_steps,
+    )
+    return color, depth, active
+
+
+def _tet_fwd(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
+             inv_mv_t, inv_proj_t, faces_intense, tets, face_tets, tet_faces,
+             bg, height, width, seed, max_steps):
+    color, depth, active, saved = _render_tet_forward(
+        verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
+        inv_proj_t, faces_intense, tets, face_tets, tet_faces, bg,
+        height, width, seed, max_steps,
+    )
+    res = (verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
+           inv_proj_t, faces_intense, tets, face_tets, tet_faces, bg, saved)
+    return (color, depth, active), res
+
+
+def _tet_bwd(height, width, seed, max_steps, res, cots):
+    (verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
+     inv_proj_t, faces_intense, tets, face_tets, tet_faces, bg, saved) = res
+    dL_dcolor, dL_ddepth, _dL_dactive = cots
+
+    g_vcolor, g_fopacity = _render_tet_backward(
+        verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
+        inv_proj_t, faces_intense, tets, face_tets, tet_faces, bg,
+        height, width, seed, max_steps, saved, dL_dcolor, dL_ddepth,
+    )
+
+    def zi(x):
+        return np.zeros(x.shape, jax.dtypes.float0)
+
+    return (
+        jnp.zeros_like(verts),
+        zi(faces),
+        g_vcolor,
+        g_fopacity,
+        jnp.zeros_like(mv_t),
+        jnp.zeros_like(proj_t),
+        jnp.zeros_like(inv_mv_t),
+        jnp.zeros_like(inv_proj_t),
+        jnp.zeros_like(faces_intense),
+        zi(tets),
+        zi(face_tets),
+        zi(tet_faces),
+        jnp.zeros_like(bg),
+    )
+
+
+render_tet_core.defvjp(_tet_fwd, _tet_bwd)

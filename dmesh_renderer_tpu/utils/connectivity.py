@@ -1,0 +1,59 @@
+"""Tetrahedral connectivity builder.
+
+The reference renderer consumes three connectivity arrays that its users must
+construct by hand (dmesh_renderer/__init__.py:461-463):
+
+  tets      [T, 4]  vertex ids of each tet
+  face_tets [F, 2]  the (up to 2) tets adjacent to each face, -1 padded
+  tet_faces [T, 4]  the 4 faces of each tet
+
+This module derives ``faces``, ``face_tets`` and ``tet_faces`` from ``tets``
+alone. A NumPy implementation is provided here; a native C++ implementation
+(dmesh_renderer_tpu/runtime) accelerates large tessellations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# vertex index triples of the 4 faces of a tet (opposite vertex 3,2,1,0)
+_TET_FACE_CORNERS = np.array(
+    [[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]], dtype=np.int64
+)
+
+
+def build_tet_connectivity(tets: np.ndarray):
+    """Derive (faces, face_tets, tet_faces) from a tet list.
+
+    tets: [T, 4] int array. Returns (faces [F,3] int32,
+    face_tets [F,2] int32 (-1 padded), tet_faces [T,4] int32). Face vertex
+    order within each face follows the first tet that introduces it.
+    """
+    tets = np.asarray(tets, np.int64)
+    T = tets.shape[0]
+
+    # All 4T candidate faces, canonicalized by sorted vertex key.
+    cand = tets[:, _TET_FACE_CORNERS]  # [T, 4, 3]
+    cand_flat = cand.reshape(-1, 3)
+    key = np.sort(cand_flat, axis=1)
+
+    uniq, first_idx, inverse = np.unique(
+        key, axis=0, return_index=True, return_inverse=True
+    )
+    F = uniq.shape[0]
+
+    faces = cand_flat[first_idx].astype(np.int32)  # original corner order
+    tet_faces = inverse.reshape(T, 4).astype(np.int32)
+
+    face_tets = np.full((F, 2), -1, np.int32)
+    counts = np.zeros(F, np.int64)
+    owner = np.repeat(np.arange(T, dtype=np.int64), 4)
+    for fid, tid in zip(inverse, owner):
+        c = counts[fid]
+        if c < 2:
+            face_tets[fid, c] = tid
+        counts[fid] = c + 1
+    if (counts > 2).any():
+        raise ValueError("non-manifold tessellation: face shared by >2 tets")
+
+    return faces, face_tets, tet_faces
