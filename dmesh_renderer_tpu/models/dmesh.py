@@ -1,0 +1,110 @@
+"""DMesh-style multi-view optimization loop (the flagship "model").
+
+The reference renderer exists to serve DMesh: differentiable-mesh
+optimization where a batch of camera views is rendered, compared against
+target images, and the scene parameters (vertex positions/colors, face
+opacities, per-view attributes) are updated by gradient descent
+(SURVEY.md section "One-paragraph summary"; BASELINE.json config 5).
+
+This module packages that loop TPU-natively: a functional train step
+(render -> L2 loss -> grads -> optax update), jit-compiled with the view
+batch sharded over a device mesh (see parallel/sharding.py) so that the
+cross-view reduction of shared-parameter gradients rides ICI collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.tri import render_tri_auto
+from ..parallel.sharding import (
+    VIEW_AXIS,
+    make_view_mesh,
+    replicated,
+    view_sharding,
+)
+
+Array = jax.Array
+
+
+class TriScene(NamedTuple):
+    """Learnable scene parameters, shared across views."""
+    verts: Array          # [P, 3]
+    verts_color: Array    # [P, 3]
+    faces_opacity: Array  # [F]
+
+
+class ViewBatch(NamedTuple):
+    """Per-view inputs (leading axis = views; shardable)."""
+    mv_t: Array           # [B, 4, 4] transposed modelview
+    proj_t: Array         # [B, 4, 4] transposed projection
+    inv_mv_t: Array       # [B, 4, 4]
+    inv_proj_t: Array     # [B, 4, 4]
+    verts_depth: Array    # [B, P]
+    faces_intense: Array  # [B, F]
+    target: Array         # [B, 3, H, W] target images
+
+
+class TrainState(NamedTuple):
+    scene: TriScene
+    view_params: Any      # (verts_depth, faces_intense) if learned, or None
+    opt_state: optax.OptState
+
+
+def render_views(scene: TriScene, faces: Array, batch: ViewBatch, bg: Array,
+                 height: int, width: int):
+    return render_tri_auto(
+        scene.verts, faces, scene.verts_color, scene.faces_opacity,
+        batch.mv_t, batch.proj_t, batch.inv_mv_t, batch.inv_proj_t,
+        batch.verts_depth, batch.faces_intense, bg, height, width,
+    )
+
+
+def make_loss_fn(faces: Array, bg: Array, height: int, width: int):
+    def loss_fn(scene: TriScene, batch: ViewBatch):
+        color, _depth = render_views(scene, faces, batch, bg, height, width)
+        return jnp.mean((color - batch.target) ** 2)
+    return loss_fn
+
+
+def make_train_step(optimizer: optax.GradientTransformation, faces: Array,
+                    bg: Array, height: int, width: int, mesh=None):
+    """Build a jitted train step.
+
+    With ``mesh``: scene params are replicated, the view batch is sharded on
+    the ``views`` axis, and the shared-parameter gradient all-reduce is
+    inserted by XLA (the TPU equivalent of the reference's
+    atomicAdd-across-views, backward.cu:389-418).
+    """
+    loss_fn = make_loss_fn(faces, bg, height, width)
+
+    def step(state: TrainState, batch: ViewBatch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.scene, batch)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.scene
+        )
+        scene = optax.apply_updates(state.scene, updates)
+        return TrainState(scene, state.view_params, opt_state), loss
+
+    if mesh is None:
+        return jax.jit(step)
+
+    rep = replicated(mesh)
+    vs = view_sharding(mesh)
+    # Prefix pytrees: `rep` covers the whole opt_state subtree.
+    state_sh = TrainState(TriScene(rep, rep, rep), None, rep)
+    batch_sh = ViewBatch(*([vs] * 7))
+    return jax.jit(
+        step,
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, rep),
+    )
+
+
+def init_train_state(scene: TriScene,
+                     optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(scene, None, optimizer.init(scene))

@@ -1,11 +1,19 @@
-"""Oracle triangle renderer: pure JAX, O(F) per pixel, no tile binning.
+"""Dense triangle renderer: pure JAX/XLA, O(F) per pixel, no tile binning.
 
-This is the semantic ground truth for the scaled (binned / Pallas) tri
-renderer and the minimum end-to-end slice of the framework. It reproduces the
-reference pipeline exactly, minus the tile machinery, which does not change
-the image: compositing order is the global (depth key, submission order)
-sort, and per-pixel coverage decides membership -- the per-tile lists of the
-reference are only an acceleration structure.
+This is both the semantic ground truth for the tile-binned Pallas path and
+the production path for small-to-medium scenes. It reproduces the reference
+pipeline exactly, minus the tile machinery, which does not change the image:
+compositing order is the global (depth key, submission order) sort, and
+per-pixel coverage decides membership -- the per-tile lists of the reference
+are only an acceleration structure.
+
+TPU structure: faces are processed in depth-sorted order in chunks of
+``CHUNK`` (the analog of the reference's 256-face cooperative shared-memory
+rounds, cuda_rasterizer/forward.cu:350-401). Per chunk, coverage /
+intersection / interpolation are vectorized over (faces-in-chunk x pixels);
+the strictly sequential alpha-blend recurrence runs as an unrolled
+elementwise loop over the chunk that XLA fuses into a handful of VPU kernels.
+A `lax.scan` iterates chunks, so compile size stays constant in F.
 
 Forward semantics (reference: cuda_rasterizer/forward.cu:257-489):
   * faces culled when max NDC z < -1, min z > 1, or empty tile bbox
@@ -23,9 +31,10 @@ Backward (reference: cuda_rasterizer/backward.cu:9-421): reverse traversal,
 transmittance reconstructed by division from final_prev_T, suffix
 accumulators for dL/dalpha, background term with the alpha==1 special case,
 gradients routed to verts (via Moller-Trumbore u,v and the clamp region
-codes), vertex colors, face opacities, per-view vertex depths and per-view
-face intensities. Unlike the CUDA atomicAdd scatter (backward.cu:389-418),
-accumulation here is deterministic.
+codes -- including the reference's dv==dt quirk, see
+geometry.ray_tri_uv_grads_reference), vertex colors, face opacities,
+per-view vertex depths and per-view face intensities. Unlike the CUDA
+atomicAdd scatter (backward.cu:389-418), accumulation is deterministic.
 """
 
 from __future__ import annotations
@@ -51,15 +60,23 @@ from .rays import generate_rays
 
 Array = jax.Array
 
+# Faces per scan step. Elementwise blend work per step unrolls CHUNK times.
+# Larger chunks amortize scan overhead on TPU; smaller chunks compile faster
+# (useful for CPU test runs -- tests/conftest.py sets DMRT_CHUNK=8).
+import os as _os
+
+CHUNK = int(_os.environ.get("DMRT_CHUNK", "32"))
+
 
 def _prepare(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
              inv_mv_t, inv_proj_t, verts_depth, faces_intense, height, width):
-    """Project, cull, sort, and gather per-step arrays for the face scan.
+    """Project, cull, sort, gather, and chunk per-face arrays.
 
-    Returns (xs, rays, pixc) where xs is a dict of arrays with leading axis F
-    in per-view depth-sorted order.
+    Returns (xs, rays, pixc, n_chunks) where xs is a dict of arrays with
+    leading axes [n_chunks, CHUNK, B, ...] in per-view depth-sorted order.
     """
     B = mv_t.shape[0]
+    F = faces.shape[0]
 
     ndc, img = project_verts(verts, mv_t, proj_t, width, height)
     ndc = lax.stop_gradient(ndc)
@@ -80,8 +97,15 @@ def _prepare(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     inten = jnp.take_along_axis(faces_intense, order, axis=1)  # [B, F]
     valid = jnp.take_along_axis(pre["valid"], order, axis=1)  # [B, F]
 
-    def to_steps(x):
-        return jnp.swapaxes(x, 0, 1)  # [F, B, ...]
+    pad = (-F) % CHUNK
+    n_chunks = (F + pad) // CHUNK
+
+    def to_steps(x, fill=0):
+        x = jnp.swapaxes(x, 0, 1)  # [F, B, ...]
+        if pad:
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            x = jnp.pad(x, widths, constant_values=fill)
+        return x.reshape((n_chunks, CHUNK) + x.shape[1:])
 
     xs = {
         "p": to_steps(p),
@@ -90,7 +114,7 @@ def _prepare(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
         "dep": to_steps(dep),
         "alpha": to_steps(alpha),
         "inten": to_steps(inten),
-        "valid": to_steps(valid),
+        "valid": to_steps(valid, fill=False),
         "fid": to_steps(order),
         "fv": to_steps(fv),
     }
@@ -105,50 +129,67 @@ def _prepare(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     py, px = jnp.meshgrid(ys, xsx, indexing="ij")
     pixc = jnp.stack([px + 0.5, py + 0.5], axis=-1).reshape(height * width, 2)
 
-    return xs, (ray_o, ray_d), pixc
+    return xs, (ray_o, ray_d), pixc, n_chunks
 
 
-def _face_pixel_terms(xs_step, rays, pixc):
-    """Shared per-(face, pixel) quantities for one scan step."""
+def _chunk_terms(xs_c, rays, pixc):
+    """Vectorized per-(face-in-chunk, pixel) quantities.
+
+    xs_c arrays have leading [CHUNK, B, ...]; pixel quantities come out as
+    [CHUNK, B, N].
+    """
     ray_o, ray_d = rays
-    p, im = xs_step["p"], xs_step["img"]
-    cov = in_tri(pixc[None], im[:, None, 0], im[:, None, 1], im[:, None, 2])
+    p, im = xs_c["p"], xs_c["img"]  # [K, B, 3, 3], [K, B, 3, 2]
+    cov = in_tri(
+        pixc[None, None], im[:, :, None, 0], im[:, :, None, 1],
+        im[:, :, None, 2],
+    )  # [K, B, N]
     tuv, nondeg = ray_tri_intersection(
-        ray_o, ray_d, p[:, None, 0], p[:, None, 1], p[:, None, 2]
-    )
+        ray_o[None], ray_d[None],
+        p[:, :, None, 0], p[:, :, None, 1], p[:, :, None, 2],
+    )  # [K, B, N, 3]
     u_c, v_c, code = clamp_bary_uv(tuv[..., 1], tuv[..., 2])
     i0 = 1.0 - u_c - v_c
-    hit = cov & nondeg & xs_step["valid"][:, None]
+    hit = cov & nondeg & xs_c["valid"][..., None]
     return hit, (i0, u_c, v_c), code
 
 
+def _interp(xs_c, i0, i1, i2):
+    """Interpolated color (with intensity) and depth, [K, B, N, ...]."""
+    col3, dep3 = xs_c["col"], xs_c["dep"]  # [K,B,3,3], [K,B,3]
+    icol = (
+        i0[..., None] * col3[:, :, None, 0]
+        + i1[..., None] * col3[:, :, None, 1]
+        + i2[..., None] * col3[:, :, None, 2]
+    ) * xs_c["inten"][..., None, None]
+    idep = (
+        i0 * dep3[:, :, None, 0]
+        + i1 * dep3[:, :, None, 1]
+        + i2 * dep3[:, :, None, 2]
+    )
+    return icol, idep
+
+
 def _forward_scan(xs, rays, pixc, B, n_pix):
-    """Front-to-back blending scan. Returns per-pixel blend results + state."""
+    """Front-to-back blending over chunked faces."""
 
-    def step(carry, xs_step):
-        T, pT, C, D, done, last_contrib, idx = carry
-        hit, (i0, i1, i2), _code = _face_pixel_terms(xs_step, rays, pixc)
-        active = hit & (~done)
+    def step(carry, xs_c):
+        T, pT, C, D, done, last_contrib, base = carry
+        hit, (i0, i1, i2), _code = _chunk_terms(xs_c, rays, pixc)
+        icol, idep = _interp(xs_c, i0, i1, i2)
+        a = xs_c["alpha"][..., None]  # [K, B, 1]
 
-        col3, dep3 = xs_step["col"], xs_step["dep"]
-        icol = (
-            i0[..., None] * col3[:, None, 0]
-            + i1[..., None] * col3[:, None, 1]
-            + i2[..., None] * col3[:, None, 2]
-        ) * xs_step["inten"][:, None, None]
-        idep = (
-            i0 * dep3[:, None, 0] + i1 * dep3[:, None, 1] + i2 * dep3[:, None, 2]
-        )
+        for j in range(CHUNK):
+            active = hit[j] & (~done)
+            w = jnp.where(active, a[j] * T, 0.0)
+            C = C + icol[j] * w[..., None]
+            D = D + idep[j] * w
+            pT = jnp.where(active, T, pT)
+            T = jnp.where(active, T * (1.0 - a[j]), T)
+            last_contrib = jnp.where(active, base + j + 1, last_contrib)
+            done = done | (active & (T < T_EPS))
 
-        a = xs_step["alpha"][:, None]
-        w = jnp.where(active, a * T, 0.0)
-        C = C + icol * w[..., None]
-        D = D + idep * w
-        pT = jnp.where(active, T, pT)
-        T = jnp.where(active, T * (1.0 - a), T)
-        last_contrib = jnp.where(active, idx + 1, last_contrib)
-        done = done | (active & (T < T_EPS))
-        return (T, pT, C, D, done, last_contrib, idx + 1), None
+        return (T, pT, C, D, done, last_contrib, base + CHUNK), None
 
     init = (
         jnp.ones((B, n_pix), jnp.float32),
@@ -159,7 +200,7 @@ def _forward_scan(xs, rays, pixc, B, n_pix):
         jnp.zeros((B, n_pix), jnp.int32),
         jnp.int32(0),
     )
-    (T, pT, C, D, _done, last_contrib, _idx), _ = lax.scan(step, init, xs)
+    (T, pT, C, D, _done, last_contrib, _), _ = lax.scan(step, init, xs)
     return T, pT, C, D, last_contrib
 
 
@@ -168,7 +209,7 @@ def _render_impl(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
                  height, width):
     B = mv_t.shape[0]
     n_pix = height * width
-    xs, rays, pixc = _prepare(
+    xs, rays, pixc, _ = _prepare(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t,
         inv_mv_t, inv_proj_t, verts_depth, faces_intense, height, width,
     )
@@ -189,7 +230,7 @@ def _render_impl(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
 def render_tri_oracle(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
                       inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg,
                       height, width):
-    """Differentiable oracle tri renderer.
+    """Differentiable dense tri renderer.
 
     Shapes (reference: dmesh_renderer/__init__.py:199-207):
       verts [P,3], faces [F,3] int32, verts_color [P,3], faces_opacity [F],
@@ -226,10 +267,10 @@ def _bwd(height, width, res, cots):
     F = faces.shape[0]
     n_pix = height * width
 
-    # Recompute the sorted per-step arrays (cheap; avoids O(F * pixels)
+    # Recompute the sorted per-chunk arrays (cheap; avoids O(F * pixels)
     # residual memory -- the analog of re-deriving CUDA state structs from the
     # saved opaque buffers, rasterizer_impl.cu:419-428).
-    xs, rays, pixc = _prepare(
+    xs, rays, pixc, n_chunks = _prepare(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t,
         inv_mv_t, inv_proj_t, verts_depth, faces_intense, height, width,
     )
@@ -238,144 +279,137 @@ def _bwd(height, width, res, cots):
     gcol = dL_dcolor.transpose(0, 2, 3, 1).reshape(B, n_pix, 3)
     gdep = dL_ddepth.reshape(B, n_pix)
 
-    bg_dot = jnp.einsum("c,bpc->bp", bg, gcol)  # [B, n_pix]
-    bd_dot = gdep
+    bg_dot = jnp.einsum("c,bpc->bp", bg, gcol) + gdep  # bg + depth-bg terms
 
-    n_steps = xs["alpha"].shape[0]
-
-    def step(carry, step_in):
+    def step(carry, xs_c):
         (T, first, last_alpha, last_color, last_depth, accum_rec, accum_recd,
-         g_verts, g_vcolor, g_fopacity, g_vdepth, g_fintense, s) = carry
-        xs_step = step_in
+         g_verts, g_vcolor, g_fopacity, g_vdepth, g_fintense, base) = carry
 
-        hit, (i0, i1, i2), code = _face_pixel_terms(xs_step, rays, pixc)
-        # Forward position of this reverse step is s; it contributed iff
-        # s < last_contrib (reference backward.cu:192-194).
-        active = hit & (s < last_contrib)
-        a = xs_step["alpha"][:, None]  # [B, 1] broadcast over pixels
+        hit, (i0k, i1k, i2k), code_k = _chunk_terms(xs_c, rays, pixc)
+        icol_k, idep_k = _interp(xs_c, i0k, i1k, i2k)
 
-        # Reconstruct transmittance before this face's blend
-        # (backward.cu:244-252). Safe-divide: the (1-a)==0 case can only be
-        # the first processed face, where no division happens.
-        one_minus_a = jnp.maximum(1.0 - a, 1e-30)
-        T = jnp.where(active & (~first), T / one_minus_a, T)
-        first = first & (~active)
-
-        col3, dep3 = xs_step["col"], xs_step["dep"]
-        inten = xs_step["inten"][:, None]
-        icol_raw = (
-            i0[..., None] * col3[:, None, 0]
-            + i1[..., None] * col3[:, None, 1]
-            + i2[..., None] * col3[:, None, 2]
-        )  # before intensity
-        icol = icol_raw * inten[..., None]
-        idep = i0 * dep3[:, None, 0] + i1 * dep3[:, None, 1] + i2 * dep3[:, None, 2]
-
-        # Suffix accumulators (backward.cu:262-284).
-        accum_rec_new = (
-            last_alpha[..., None] * last_color
-            + (1.0 - last_alpha[..., None]) * accum_rec
-        )
-        accum_recd_new = last_alpha * last_depth + (1.0 - last_alpha) * accum_recd
-
-        dL_dicolor = gcol * (a * T)[..., None]  # [B, n_pix, 3]
-        dL_didepth = gdep * a * T
-
-        dL_dalpha = (
-            jnp.sum((icol - accum_rec_new) * gcol, axis=-1)
-            + (idep - accum_recd_new) * gdep
-        ) * T
-
-        # Background term (backward.cu:293-308).
-        alpha_is_one = a == 1.0
-        bg_coef = jnp.where(
-            alpha_is_one, -final_prev_T, -final_T / one_minus_a
-        )
-        dL_dalpha = dL_dalpha + bg_coef * (bg_dot + bd_dot)
-
-        # Mask and update running state.
-        dL_dicolor = jnp.where(active[..., None], dL_dicolor, 0.0)
-        dL_didepth = jnp.where(active, dL_didepth, 0.0)
-        dL_dalpha = jnp.where(active, dL_dalpha, 0.0)
-
-        accum_rec = jnp.where(active[..., None], accum_rec_new, accum_rec)
-        accum_recd = jnp.where(active, accum_recd_new, accum_recd)
-        last_color = jnp.where(active[..., None], icol, last_color)
-        last_depth = jnp.where(active, idep, last_depth)
-        last_alpha = jnp.where(active, a * jnp.ones_like(T), last_alpha)
-
-        # Gradients w.r.t. interpolation weights (backward.cu:313-349).
-        dL_di0 = (
-            jnp.einsum("bpc,bc->bp", dL_dicolor, col3[:, 0]) * inten
-            + dep3[:, None, 0] * dL_didepth
-        )
-        dL_di1 = (
-            jnp.einsum("bpc,bc->bp", dL_dicolor, col3[:, 1]) * inten
-            + dep3[:, None, 1] * dL_didepth
-        )
-        dL_di2 = (
-            jnp.einsum("bpc,bc->bp", dL_dicolor, col3[:, 2]) * inten
-            + dep3[:, None, 2] * dL_didepth
+        # raw (pre-intensity) interpolated color for the intensity gradient
+        col3 = xs_c["col"]
+        icol_raw_k = (
+            i0k[..., None] * col3[:, :, None, 0]
+            + i1k[..., None] * col3[:, :, None, 1]
+            + i2k[..., None] * col3[:, :, None, 2]
         )
 
-        # d i / d (u_c, v_c): i0 = 1-u_c-v_c, i1 = u_c, i2 = v_c
-        dL_duc = -dL_di0 + dL_di1
-        dL_dvc = -dL_di0 + dL_di2
+        # Per-face accumulators for one scatter per chunk.
+        gp_list, gc_list, go_list, gd_list, gi_list = [], [], [], [], []
 
-        # Chain through the clamp region codes (clamp_bary_uv_grad,
-        # auxiliary.h:374-400) and the reference's explicit Moller-Trumbore
-        # gradient formulas (auxiliary.h:288-333; see
-        # ray_tri_uv_grads_reference for the dv==dt parity quirk).
-        duc_du, duc_dv, dvc_du, dvc_dv = clamp_bary_uv_grad(code)
-        dL_du = dL_duc * duc_du + dL_dvc * dvc_du
-        dL_dv = dL_duc * duc_dv + dL_dvc * dvc_dv
+        for j in reversed(range(CHUNK)):
+            s = base + j
+            active = hit[j] & (s < last_contrib)
+            a = xs_c["alpha"][j][:, None]  # [B, 1]
 
-        p = xs_step["p"]  # [B, 3, 3]
-        du_dp0, du_dp1, du_dp2, dv_dp0, dv_dp1, dv_dp2 = (
-            ray_tri_uv_grads_reference(
+            one_minus_a = jnp.maximum(1.0 - a, 1e-30)
+            T = jnp.where(active & (~first), T / one_minus_a, T)
+            first = first & (~active)
+
+            icol = icol_k[j]
+            idep = idep_k[j]
+            inten = xs_c["inten"][j][:, None]
+
+            accum_rec_new = (
+                last_alpha[..., None] * last_color
+                + (1.0 - last_alpha[..., None]) * accum_rec
+            )
+            accum_recd_new = (
+                last_alpha * last_depth + (1.0 - last_alpha) * accum_recd
+            )
+
+            dL_dicolor = gcol * (a * T)[..., None]
+            dL_didepth = gdep * a * T
+
+            dL_dalpha = (
+                jnp.sum((icol - accum_rec_new) * gcol, axis=-1)
+                + (idep - accum_recd_new) * gdep
+            ) * T
+
+            bg_coef = jnp.where(a == 1.0, -final_prev_T, -final_T / one_minus_a)
+            dL_dalpha = dL_dalpha + bg_coef * bg_dot
+
+            dL_dicolor = jnp.where(active[..., None], dL_dicolor, 0.0)
+            dL_didepth = jnp.where(active, dL_didepth, 0.0)
+            dL_dalpha = jnp.where(active, dL_dalpha, 0.0)
+
+            accum_rec = jnp.where(active[..., None], accum_rec_new, accum_rec)
+            accum_recd = jnp.where(active, accum_recd_new, accum_recd)
+            last_color = jnp.where(active[..., None], icol, last_color)
+            last_depth = jnp.where(active, idep, last_depth)
+            last_alpha = jnp.where(active, a * jnp.ones_like(T), last_alpha)
+
+            # Gradients w.r.t. interpolation weights (backward.cu:313-349).
+            dep3 = xs_c["dep"][j]  # [B, 3]
+            dL_di = [
+                jnp.einsum("bpc,bc->bp", dL_dicolor, col3[j, :, k]) * inten
+                + dep3[:, None, k] * dL_didepth
+                for k in range(3)
+            ]
+            dL_duc = -dL_di[0] + dL_di[1]
+            dL_dvc = -dL_di[0] + dL_di[2]
+
+            duc_du, duc_dv, dvc_du, dvc_dv = clamp_bary_uv_grad(code_k[j])
+            dL_du = dL_duc * duc_du + dL_dvc * dvc_du
+            dL_dv = dL_duc * duc_dv + dL_dvc * dvc_dv
+
+            p = xs_c["p"][j]  # [B, 3, 3]
+            du0, du1, du2, dv0, dv1, dv2 = ray_tri_uv_grads_reference(
                 ray_o, ray_d, p[:, None, 0], p[:, None, 1], p[:, None, 2]
             )
-        )
-        g_p0 = jnp.sum(
-            dL_du[..., None] * du_dp0 + dL_dv[..., None] * dv_dp0, axis=1
-        )
-        g_p1 = jnp.sum(
-            dL_du[..., None] * du_dp1 + dL_dv[..., None] * dv_dp1, axis=1
-        )
-        g_p2 = jnp.sum(
-            dL_du[..., None] * du_dp2 + dL_dv[..., None] * dv_dp2, axis=1
-        )
-        g_p = jnp.stack([g_p0, g_p1, g_p2], axis=1)  # [B, 3, 3]
+            gp = jnp.stack(
+                [
+                    jnp.sum(dL_du[..., None] * duk + dL_dv[..., None] * dvk,
+                            axis=1)
+                    for duk, dvk in ((du0, dv0), (du1, dv1), (du2, dv2))
+                ],
+                axis=1,
+            )  # [B, 3verts, 3]
 
-        # Per-vertex color gradients, reduced over pixels.
-        g_c0 = jnp.sum(i0[..., None] * dL_dicolor, axis=1) * xs_step["inten"][:, None]
-        g_c1 = jnp.sum(i1[..., None] * dL_dicolor, axis=1) * xs_step["inten"][:, None]
-        g_c2 = jnp.sum(i2[..., None] * dL_dicolor, axis=1) * xs_step["inten"][:, None]
+            gc = jnp.stack(
+                [
+                    jnp.sum(ik[..., None] * dL_dicolor, axis=1)
+                    * xs_c["inten"][j][:, None]
+                    for ik in (i0k[j], i1k[j], i2k[j])
+                ],
+                axis=1,
+            )  # [B, 3verts, 3ch]
+            gd = jnp.stack(
+                [jnp.sum(ik * dL_didepth, axis=1)
+                 for ik in (i0k[j], i1k[j], i2k[j])],
+                axis=1,
+            )  # [B, 3verts]
+            go = jnp.sum(dL_dalpha, axis=1)  # [B]
+            gi = jnp.sum(jnp.sum(icol_raw_k[j] * dL_dicolor, axis=-1), axis=1)
 
-        g_d0 = jnp.sum(i0 * dL_didepth, axis=1)
-        g_d1 = jnp.sum(i1 * dL_didepth, axis=1)
-        g_d2 = jnp.sum(i2 * dL_didepth, axis=1)
+            gp_list.append(gp)
+            gc_list.append(gc)
+            go_list.append(go)
+            gd_list.append(gd)
+            gi_list.append(gi)
 
-        g_op = jnp.sum(dL_dalpha, axis=1)  # [B]
-        g_in = jnp.sum(
-            jnp.sum(icol_raw * dL_dicolor, axis=-1), axis=1
-        )  # [B]
-
-        fv = xs_step["fv"]  # [B, 3]
-        fid = xs_step["fid"]  # [B]
+        # One scatter per chunk (deterministic; replaces atomicAdd).
+        fv = xs_c["fv"]  # [K, B, 3]
+        fid = xs_c["fid"]  # [K, B]
         b_idx = jnp.arange(B)
 
-        g_verts = g_verts.at[fv].add(g_p)
-        g_vcolor = g_vcolor.at[fv].add(jnp.stack([g_c0, g_c1, g_c2], axis=1))
-        g_fopacity = g_fopacity.at[fid].add(g_op)
-        g_vdepth = g_vdepth.at[b_idx[:, None], fv].add(
-            jnp.stack([g_d0, g_d1, g_d2], axis=1)
-        )
-        g_fintense = g_fintense.at[b_idx, fid].add(g_in)
+        gp_all = jnp.stack(gp_list[::-1])  # [K, B, 3, 3]
+        gc_all = jnp.stack(gc_list[::-1])
+        go_all = jnp.stack(go_list[::-1])
+        gd_all = jnp.stack(gd_list[::-1])
+        gi_all = jnp.stack(gi_list[::-1])
+
+        g_verts = g_verts.at[fv].add(gp_all)
+        g_vcolor = g_vcolor.at[fv].add(gc_all)
+        g_fopacity = g_fopacity.at[fid].add(go_all)
+        g_vdepth = g_vdepth.at[b_idx[None, :, None], fv].add(gd_all)
+        g_fintense = g_fintense.at[b_idx[None, :], fid].add(gi_all)
 
         carry = (T, first, last_alpha, last_color, last_depth, accum_rec,
                  accum_recd, g_verts, g_vcolor, g_fopacity, g_vdepth,
-                 g_fintense, s - 1)
+                 g_fintense, base - CHUNK)
         return carry, None
 
     init = (
@@ -391,7 +425,7 @@ def _bwd(height, width, res, cots):
         jnp.zeros((F,), jnp.float32),
         jnp.zeros((B, P), jnp.float32),
         jnp.zeros((B, F), jnp.float32),
-        jnp.int32(n_steps - 1),
+        jnp.int32((n_chunks - 1) * CHUNK),
     )
 
     carry, _ = lax.scan(step, init, xs, reverse=True)

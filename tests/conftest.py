@@ -12,6 +12,10 @@ We counter-update the config to plain "cpu" before any computation runs.
 
 import os
 
+# Small face-chunk unroll: much faster XLA:CPU compiles for the tiny scenes
+# used in tests (see dmesh_renderer_tpu/ops/tri_oracle.py).
+os.environ.setdefault("DMRT_CHUNK", "8")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,82 @@
+"""Multi-view sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from dmesh_renderer_tpu.models.dmesh import (
+    TriScene, ViewBatch, init_train_state, make_train_step,
+)
+from dmesh_renderer_tpu.parallel.sharding import (
+    make_view_mesh, shard_view_batch,
+)
+import scenes
+
+H = W = 16
+N_TRIS = 16
+B = 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    soup = scenes.random_triangle_soup(N_TRIS, seed=2)
+    mv, proj = scenes.ring_cameras(B)
+    vdepth, fintense = scenes.soup_view_attrs(soup, B)
+    mv_t = np.swapaxes(mv, 1, 2).copy()
+    proj_t = np.swapaxes(proj, 1, 2).copy()
+    scene = TriScene(
+        jnp.asarray(soup["verts"]),
+        jnp.asarray(soup["verts_color"]),
+        jnp.asarray(soup["faces_opacity"]),
+    )
+    batch = ViewBatch(
+        jnp.asarray(mv_t), jnp.asarray(proj_t),
+        jnp.asarray(np.linalg.inv(mv_t)), jnp.asarray(np.linalg.inv(proj_t)),
+        jnp.asarray(vdepth), jnp.asarray(fintense),
+        jnp.full((B, 3, H, W), 0.5, jnp.float32),
+    )
+    return soup, scene, batch
+
+
+def test_sharded_step_matches_single_device(setup):
+    soup, scene, batch = setup
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+
+    optimizer = optax.sgd(1e-2)
+    faces = jnp.asarray(soup["faces"])
+    bg = jnp.zeros(3, jnp.float32)
+
+    # single-device reference
+    step1 = make_train_step(optimizer, faces, bg, H, W, mesh=None)
+    st1 = init_train_state(scene, optimizer)
+    st1b, loss1 = step1(st1, batch)
+
+    # 8-way view-sharded
+    mesh = make_view_mesh(8)
+    step8 = make_train_step(optimizer, faces, bg, H, W, mesh=mesh)
+    st8 = init_train_state(scene, optimizer)
+    batch8 = shard_view_batch(mesh, batch)
+    st8b, loss8 = step8(st8, batch8)
+
+    assert np.isclose(float(loss1), float(loss8), rtol=1e-6)
+    for a, b in zip(st1b.scene, st8b.scene):
+        np.testing.assert_allclose(np.array(a), np.array(b), rtol=2e-5,
+                                   atol=1e-7)
+
+
+def test_training_reduces_loss(setup):
+    soup, scene, batch = setup
+    optimizer = optax.adam(5e-2)
+    faces = jnp.asarray(soup["faces"])
+    bg = jnp.zeros(3, jnp.float32)
+    mesh = make_view_mesh(8)
+    step = make_train_step(optimizer, faces, bg, H, W, mesh=mesh)
+    st = init_train_state(scene, optimizer)
+    batch = shard_view_batch(mesh, batch)
+
+    _, loss0 = step(st, batch)
+    for _ in range(10):
+        st, loss = step(st, batch)
+    assert float(loss) < float(loss0)
