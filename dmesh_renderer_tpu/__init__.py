@@ -19,5 +19,6 @@ from .api import (  # noqa: F401
     TetRenderer,
     render_tet,
 )
+from .runtime.native import build_tet_connectivity  # noqa: F401
 
 __version__ = "0.1.0"

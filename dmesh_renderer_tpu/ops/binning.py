@@ -1,0 +1,157 @@
+"""Tile binning: static-capacity key emission, sort, and range identification.
+
+XLA-native replacement for the reference's host-orchestrated pipeline
+(rasterizer_impl.cu:175-338):
+
+  CUB InclusiveSum over tiles_touched      -> jnp.cumsum
+  D2H readback of num_rendered + realloc   -> static key capacity KCAP with an
+                                              overflow indicator (no host sync
+                                              under jit)
+  duplicateWithKeys kernel                 -> vectorized slot->face inversion
+                                              via searchsorted (each slot
+                                              finds its owning face, instead
+                                              of each face writing its slots)
+  CUB radix sort on packed (tile|depth)    -> lax.sort on (tile_key, depth)
+                                              with num_keys=2, stable
+  identifyTileRanges kernel                -> searchsorted of tile ids over
+                                              the sorted keys
+
+Emission order parity: the reference emits keys per face in row-major order
+over the face's tile rect (rasterizer_impl.cu:69-96) and radix sort is
+stable, so equal (tile, depth) keys keep submission order; slots here are
+numbered identically and lax.sort is stable.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+
+class BinnedKeys(NamedTuple):
+    """Sorted key table at static capacity KCAP."""
+    face: Array       # [KCAP] int32 face id per sorted slot (0 for padding)
+    batch: Array      # [KCAP] int32 view id per sorted slot
+    tile_key: Array   # [KCAP] int32 batch*n_tiles + tile_id (BIG for padding)
+    starts: Array     # [B * n_tiles] int32 slot range start per tile
+    ends: Array       # [B * n_tiles] int32 slot range end per tile
+    total: Array      # [] int32 number of real (face, tile) pairs emitted
+    overflow: Array   # [] bool, True if total > KCAP (keys were dropped)
+
+
+def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
+                  sort_by: str = "depth") -> BinnedKeys:
+    """Build the sorted (tile, depth) key table.
+
+    pre: output of geometry.preprocess_faces (tiles, rect_min/max, depth,
+    min_depth, valid -- all [B, F]).
+    sort_by: "depth" (tri renderer) or "min_depth" (tet renderer,
+    renderer_impl.cu:318-329).
+    """
+    tiles = pre["tiles"]  # [B, F]
+    B, F = tiles.shape
+    n_tiles = grid_x * grid_y
+
+    flat = tiles.reshape(-1).astype(jnp.int32)  # [B*F]
+    incl = jnp.cumsum(flat)
+    excl = incl - flat
+    total = incl[-1] if flat.size else jnp.int32(0)
+
+    slots = jnp.arange(kcap, dtype=jnp.int32)
+    bf = jnp.searchsorted(incl, slots, side="right").astype(jnp.int32)
+    bf = jnp.minimum(bf, B * F - 1)
+    k = slots - excl[bf]
+    in_range = slots < total
+
+    b = bf // F
+    f = bf % F
+
+    rect_min = pre["rect_min"].reshape(B * F, 2)[bf]  # [KCAP, 2]
+    rect_max = pre["rect_max"].reshape(B * F, 2)[bf]
+    nx = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
+    tx = rect_min[:, 0] + k % nx
+    ty = rect_min[:, 1] + k // nx
+    tile_id = ty * grid_x + tx
+
+    big = jnp.int32(B * n_tiles)
+    tile_key = jnp.where(in_range, b * n_tiles + tile_id, big)
+    depth = pre["min_depth" if sort_by == "min_depth" else "depth"]
+    dkey = jnp.where(in_range, depth.reshape(-1)[bf], jnp.float32(2.0))
+
+    tile_key_s, _d, face_s, batch_s = lax.sort(
+        (tile_key, dkey, f, b), num_keys=2, is_stable=True
+    )
+
+    tids = jnp.arange(B * n_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(tile_key_s, tids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(tile_key_s, tids, side="right").astype(jnp.int32)
+
+    return BinnedKeys(
+        face=face_s.astype(jnp.int32),
+        batch=batch_s.astype(jnp.int32),
+        tile_key=tile_key_s,
+        starts=starts,
+        ends=ends,
+        total=total,
+        overflow=total > kcap,
+    )
+
+
+def default_key_capacity(B: int, F: int, avg_tiles_per_face: int = 8) -> int:
+    """Static key capacity heuristic, rounded to a 128 multiple."""
+    kcap = max(1024, B * F * avg_tiles_per_face)
+    return ((kcap + 127) // 128) * 128
+
+
+class AlignedKeys(NamedTuple):
+    """Key table re-laid-out so every tile's slot range starts on a slab
+    boundary (needed by the Pallas kernels: DMA windows are slab-aligned and
+    never shared between tiles, which makes the backward kernel's slab
+    write-back race-free by construction)."""
+    face: Array       # [cap] int32
+    batch: Array      # [cap] int32
+    live: Array       # [cap] bool -- real entry (not alignment padding)
+    starts: Array     # [B * n_tiles] int32 (each a multiple of slab)
+    ends: Array       # [B * n_tiles] int32
+    total: Array      # [] int32 real pairs emitted (pre-padding)
+    overflow: Array   # [] bool
+
+
+def aligned_capacity(kcap: int, n_tiles_total: int, slab: int) -> int:
+    """Static capacity of the slab-aligned table."""
+    cap = kcap + slab * n_tiles_total
+    return ((cap + slab - 1) // slab) * slab
+
+
+def align_to_slabs(keys: BinnedKeys, n_tiles_total: int, slab: int,
+                   cap: int) -> AlignedKeys:
+    """Scatter the sorted key table into slab-aligned per-tile ranges."""
+    counts = keys.ends - keys.starts  # [NT]
+    padded = ((counts + slab - 1) // slab) * slab
+    new_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)]
+    )
+    new_ends = new_starts + counts
+
+    kcap = keys.face.shape[0]
+    slot = jnp.arange(kcap, dtype=jnp.int32)
+    tk = keys.tile_key
+    real = tk < n_tiles_total
+    tk_safe = jnp.minimum(tk, n_tiles_total - 1)
+    pos = new_starts[tk_safe] + (slot - keys.starts[tk_safe])
+    pos = jnp.where(real, pos, cap)  # drop padding slots
+
+    face = jnp.zeros((cap,), jnp.int32).at[pos].set(keys.face, mode="drop")
+    batch = jnp.zeros((cap,), jnp.int32).at[pos].set(keys.batch, mode="drop")
+    live = jnp.zeros((cap,), jnp.bool_).at[pos].set(real, mode="drop")
+
+    return AlignedKeys(
+        face=face, batch=batch, live=live,
+        starts=new_starts, ends=new_ends,
+        total=keys.total, overflow=keys.overflow,
+    )

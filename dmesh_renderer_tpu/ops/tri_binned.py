@@ -1,0 +1,851 @@
+"""Tile-binned triangle renderer: Pallas TPU kernels for the scaled path.
+
+The TPU re-design of the reference's tile pipeline (cuda_rasterizer/):
+
+  CUDA structure                            TPU structure (here)
+  ----------------------------------------  --------------------------------
+  16x16-pixel tile per thread block         32x32-pixel tile per grid step,
+                                            pixel state held as (8,128) VPU
+                                            registers (f32 native tile)
+  256-face shared-memory rounds             SLAB-face HBM->VMEM DMA slabs
+  per-thread sequential blend loop          per-face sequential loop over
+                                            vectorized (8,128) pixel blocks
+  __syncthreads_count(done) early-out       lax.while_loop over slabs with
+                                            jnp.all(done) early-exit
+  atomicAdd gradient scatter                per-slot gradient records written
+                                            race-free (tile slot ranges are
+                                            slab-aligned and disjoint), then
+                                            XLA segment-sum -- deterministic
+
+Because compositing order is decided entirely by the global (depth key,
+submission order) sort and per-pixel coverage (see tri_oracle docstring),
+the tile size is a pure performance knob: 32x32 fills the 8x128 VPU shape.
+Rendered images match the oracle path up to float summation order.
+
+Memory layout: per-slot attributes live in [cap, 128] f32 + i32 tables.
+Slots are rows because Mosaic only supports dynamic indexing on the sublane
+dimension; attr columns are static lane offsets. Per-tile slot ranges are
+slab-aligned (binning.align_to_slabs) so DMA windows are tile-exclusive --
+which also makes the backward's slab write-back race-free.
+
+Per-slot precomputation moves all per-face constants out of the kernel:
+  * coverage edge functions s_e = A_e*px + B_e*py + C_e in 16x16-subpixel
+    fixed point with the top-left-rule bias folded into C_e
+    (exactly reproducing in_tri, cuda_rasterizer/auxiliary.h:179-243)
+  * Moller-Trumbore constants T = o - p0, E1, E2, Q = T x E1 (the ray origin
+    is the camera position, constant per view), so the kernel does only the
+    per-pixel parts: P = d x E2, denom = P.E1, u = P.T/denom, v = Q.d/denom
+    (auxiliary.h:255-286)
+
+Reference pipeline being replaced: rasterizer_impl.cu:175-383 (forward) and
+:387-467 + backward.cu:9-421 (backward).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.config import T_EPS
+from .binning import (
+    AlignedKeys,
+    align_to_slabs,
+    aligned_capacity,
+    default_key_capacity,
+    emit_and_sort,
+)
+from .geometry import (
+    clamp_bary_uv,
+    clamp_bary_uv_grad,
+    preprocess_faces,
+    project_verts,
+)
+from .rays import generate_rays
+
+Array = jax.Array
+
+TILE = 32          # pixels per tile side; 32*32 = 1024 = 8*128 VPU block
+PSUB, PLANE = 8, 128
+SLAB = 128         # faces per HBM->VMEM DMA slab (sublane window)
+NA = 128           # attr columns per slot (lane-dim, must be 128)
+NG = 128           # gradient-record columns per slot (lane-dim)
+
+# Attr column layouts. Mosaic only supports dynamic indexing on the sublane
+# dim, so slots are rows and attrs are static lane columns; lane width is
+# fixed at 128 (the table is sparse on purpose -- DMA time is negligible
+# next to the per-face compute, only HBM capacity pays).
+# float table:
+_TV, _E1, _E2, _QV = 0, 3, 6, 9
+_C0 = 12           # c0 rgb, c1 rgb, c2 rgb
+_D0 = 21           # d0 d1 d2
+_ALPHA, _INTEN = 24, 25
+# int table:
+_EDGE = 0          # A1 B1 C1 A2 B2 C2 A3 B3 C3
+_NONDEG = 9
+
+# gradient record column layout
+_G_ALPHA = 0
+_G_P = 1           # dL_dp0 xyz, dL_dp1 xyz, dL_dp2 xyz
+_G_VC = 10         # sum i_k * dL_dicolor_ch (k-major, 9)
+_G_VD = 19         # sum i_k * dL_didepth (3)
+_G_IN = 22         # sum icol_raw . dL_dicolor
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# =============================================================================
+# XLA-side slot attribute construction
+# =============================================================================
+
+def _build_slot_attrs(verts, faces, verts_color, faces_opacity, verts_depth,
+                      faces_intense, img, cam_o, keys: AlignedKeys):
+    """Pack per-slot face constants into [cap, NA] f32 + i32 tables."""
+    f = keys.face
+    b = keys.batch
+    fv = faces[f]  # [K, 3]
+    p0, p1, p2 = verts[fv[:, 0]], verts[fv[:, 1]], verts[fv[:, 2]]
+    e1 = p1 - p0
+    e2 = p2 - p0
+    tv = cam_o[b] - p0
+    qv = jnp.cross(tv, e1)
+
+    c = verts_color[fv].reshape(-1, 9)  # [K, 9]
+    d = verts_depth[b[:, None], fv]  # [K, 3]
+    alpha = faces_opacity[f]
+    inten = faces_intense[b, f]
+
+    K = f.shape[0]
+    fcols = jnp.concatenate(
+        [tv, e1, e2, qv, c, d, alpha[:, None], inten[:, None]], axis=1
+    )  # [K, 26] float attrs in _TV.._INTEN column order
+    attr_f = jnp.pad(fcols, ((0, 0), (0, NA - fcols.shape[1])))
+
+    # Fixed-point coverage edge coefficients (auxiliary.h:179-243).
+    im = img[b[:, None], fv]  # [K, 3, 2] float pixel coords
+    xi = (im[..., 0] * 16.0).astype(jnp.int32)  # truncation toward zero
+    yi = (im[..., 1] * 16.0).astype(jnp.int32)
+    x1, x2, x3 = xi[:, 0], xi[:, 1], xi[:, 2]
+    y1, y2, y3 = yi[:, 0], yi[:, 1], yi[:, 2]
+
+    area = (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)
+    neg = area < 0
+    x2s = jnp.where(neg, x3, x2)
+    y2s = jnp.where(neg, y3, y2)
+    x3s = jnp.where(neg, x2, x3)
+    y3s = jnp.where(neg, y2, y3)
+
+    def edge(xa, ya, xb, yb):
+        cx = xa - xb
+        cy = ya - yb
+        bias = ((cy > 0) | ((cy == 0) & (cx > 0))).astype(jnp.int32)
+        A = -cy
+        B = cx
+        C = cy * xa - cx * ya - bias
+        return A, B, C
+
+    A1, B1, C1 = edge(x1, y1, x2s, y2s)
+    A2, B2, C2 = edge(x2s, y2s, x3s, y3s)
+    A3, B3, C3 = edge(x3s, y3s, x1, y1)
+
+    icols = jnp.stack(
+        [A1, B1, C1, A2, B2, C2, A3, B3, C3,
+         (area != 0).astype(jnp.int32)], axis=1
+    )  # [K, 10] int attrs in _EDGE.._NONDEG column order
+    attr_i = jnp.pad(icols, ((0, 0), (0, NA - icols.shape[1])))
+    return attr_f, attr_i
+
+
+# =============================================================================
+# Tile pixel layout helpers
+# =============================================================================
+
+def _tileify(x, B, H, W, gx, gy):
+    """[B, H, W, C] -> [B*gy*gx, C, PSUB, PLANE] (pad to tile multiples)."""
+    C = x.shape[-1]
+    Hp, Wp = gy * TILE, gx * TILE
+    x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+    x = x.reshape(B, gy, TILE, gx, TILE, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # [B, gy, gx, C, TILE, TILE]
+    return x.reshape(B * gy * gx, C, PSUB, PLANE)
+
+
+def _untile(y, B, H, W, gx, gy):
+    """[B*gy*gx, C, PSUB, PLANE] -> [B, H, W, C]."""
+    C = y.shape[1]
+    y = y.reshape(B, gy, gx, C, TILE, TILE)
+    y = y.transpose(0, 1, 4, 2, 5, 3)  # [B, gy, TILE, gx, TILE, C]
+    y = y.reshape(B, gy * TILE, gx * TILE, C)
+    return y[:, :H, :W, :]
+
+
+def _pixel_coords(B, gx, gy):
+    """Fixed-point pixel-center coords [NT, 2, PSUB, PLANE] (16x + 8)."""
+    H, W = gy * TILE, gx * TILE
+    ys = jnp.arange(H, dtype=jnp.int32)
+    xs = jnp.arange(W, dtype=jnp.int32)
+    py, px = jnp.meshgrid(ys, xs, indexing="ij")
+    pix = jnp.stack([px * 16 + 8, py * 16 + 8], axis=-1)  # [H, W, 2]
+    pix = jnp.broadcast_to(pix[None], (B, H, W, 2))
+    return _tileify(pix, B, H, W, gx, gy)
+
+
+# =============================================================================
+# In-kernel shared math
+# =============================================================================
+
+def _face_scalars(fslab, islab, j):
+    return {
+        "tv": [fslab[j, _TV + k] for k in range(3)],
+        "e1": [fslab[j, _E1 + k] for k in range(3)],
+        "e2": [fslab[j, _E2 + k] for k in range(3)],
+        "qv": [fslab[j, _QV + k] for k in range(3)],
+        "c": [fslab[j, _C0 + k] for k in range(9)],
+        "d": [fslab[j, _D0 + k] for k in range(3)],
+        "alpha": fslab[j, _ALPHA],
+        "inten": fslab[j, _INTEN],
+        "edge": [islab[j, _EDGE + k] for k in range(9)],
+        "nondeg": islab[j, _NONDEG],
+    }
+
+
+def _coverage_and_uv(fs, px, py, dx, dy, dz):
+    """Per-pixel coverage + clamped barycentrics for one face."""
+    A1, B1, C1, A2, B2, C2, A3, B3, C3 = fs["edge"]
+    s1 = A1 * px + B1 * py + C1
+    s2 = A2 * px + B2 * py + C2
+    s3 = A3 * px + B3 * py + C3
+    cover = (s1 < 0) & (s2 < 0) & (s3 < 0) & (fs["nondeg"] > 0)
+
+    e1x, e1y, e1z = fs["e1"]
+    e2x, e2y, e2z = fs["e2"]
+    tvx, tvy, tvz = fs["tv"]
+    qx, qy, qz = fs["qv"]
+
+    Px = dy * e2z - dz * e2y
+    Py = dz * e2x - dx * e2z
+    Pz = dx * e2y - dy * e2x
+    denom = Px * e1x + Py * e1y + Pz * e1z
+    valid = denom != 0.0
+    inv = 1.0 / jnp.where(valid, denom, 1.0)
+    u = (Px * tvx + Py * tvy + Pz * tvz) * inv
+    v = (qx * dx + qy * dy + qz * dz) * inv
+
+    u_c, v_c, code = clamp_bary_uv(u, v)
+    i0 = 1.0 - u_c - v_c
+    return cover & valid, u, v, u_c, v_c, code, i0, u_c, v_c
+
+
+def _interp_scalars(fs, i0, i1, i2):
+    c = fs["c"]
+    cr = (i0 * c[0] + i1 * c[3] + i2 * c[6]) * fs["inten"]
+    cg = (i0 * c[1] + i1 * c[4] + i2 * c[7]) * fs["inten"]
+    cb = (i0 * c[2] + i1 * c[5] + i2 * c[8]) * fs["inten"]
+    d = fs["d"]
+    dep = i0 * d[0] + i1 * d[1] + i2 * d[2]
+    return cr, cg, cb, dep
+
+
+# =============================================================================
+# Forward kernel
+# =============================================================================
+
+def _fwd_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
+                pix_ref, out_ref, fslab, islab, semf, semi):
+    t = pl.program_id(0)
+    start = starts_ref[t]  # slab-aligned (binning.align_to_slabs)
+    end = ends_ref[t]
+    n = end - start
+
+    dx = rayd_ref[0, 0]
+    dy = rayd_ref[0, 1]
+    dz = rayd_ref[0, 2]
+    px = pix_ref[0, 0]
+    py = pix_ref[0, 1]
+
+    shape = dx.shape
+    T0 = jnp.ones(shape, jnp.float32)
+    init = (
+        jnp.int32(0),
+        jnp.zeros(shape, jnp.int32),    # done (i32: Mosaic cannot carry i1
+                                        # vectors through scf loops)
+        T0,                             # T
+        T0,                             # pT
+        jnp.zeros(shape, jnp.float32),  # Cr
+        jnp.zeros(shape, jnp.float32),  # Cg
+        jnp.zeros(shape, jnp.float32),  # Cb
+        jnp.zeros(shape, jnp.float32),  # D
+        jnp.zeros(shape, jnp.int32),    # n_contrib
+    )
+    n_slabs = pl.cdiv(n, SLAB)
+
+    def cond(c):
+        s, done = c[0], c[1]
+        return (s < n_slabs) & jnp.logical_not(jnp.all(done > 0))
+
+    def body(c):
+        s, done, T, pT, Cr, Cg, Cb, D, nc = c
+        s0 = pl.multiple_of(start + s * SLAB, SLAB)
+        cf = pltpu.make_async_copy(
+            attrf_hbm.at[pl.ds(s0, SLAB), :], fslab, semf)
+        ci = pltpu.make_async_copy(
+            attri_hbm.at[pl.ds(s0, SLAB), :], islab, semi)
+        cf.start()
+        ci.start()
+        cf.wait()
+        ci.wait()
+
+        rem = n - s * SLAB
+        base = s * SLAB
+
+        def face_body(j, st):
+            done, T, pT, Cr, Cg, Cb, D, nc = st
+            fs = _face_scalars(fslab, islab, j)
+            hitg, _u, _v, _uc, _vc, _code, i0, i1, i2 = _coverage_and_uv(
+                fs, px, py, dx, dy, dz)
+            cr, cg, cb, dep = _interp_scalars(fs, i0, i1, i2)
+            a = fs["alpha"]
+            hit = hitg & (done == 0)
+            w = jnp.where(hit, a * T, 0.0)
+            Cr = Cr + cr * w
+            Cg = Cg + cg * w
+            Cb = Cb + cb * w
+            D = D + dep * w
+            pT = jnp.where(hit, T, pT)
+            T = jnp.where(hit, T * (1.0 - a), T)
+            nc = jnp.where(hit, base + j + 1, nc)
+            done = jnp.where(hit & (T < T_EPS), 1, done)
+            return (done, T, pT, Cr, Cg, Cb, D, nc)
+
+        st = (done, T, pT, Cr, Cg, Cb, D, nc)
+        st = lax.fori_loop(0, jnp.minimum(rem, SLAB), face_body, st)
+        done, T, pT, Cr, Cg, Cb, D, nc = st
+        return (s + 1, done, T, pT, Cr, Cg, Cb, D, nc)
+
+    c = lax.while_loop(cond, body, init)
+    _s, _done, T, pT, Cr, Cg, Cb, D, nc = c
+    out_ref[0, 0] = Cr
+    out_ref[0, 1] = Cg
+    out_ref[0, 2] = Cb
+    out_ref[0, 3] = D
+    out_ref[0, 4] = T
+    out_ref[0, 5] = pT
+    out_ref[0, 6] = nc.astype(jnp.float32)
+
+
+def _run_fwd_kernel(starts, ends, attr_f, attr_i, rayd_t, pix_t, n_tiles):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 3, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 7, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((SLAB, NA), jnp.float32),
+            pltpu.VMEM((SLAB, NA), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 7, PSUB, PLANE), jnp.float32),
+        interpret=_interpret(),
+    )(starts, ends, attr_f, attr_i, rayd_t, pix_t)
+
+
+# =============================================================================
+# Backward kernel
+# =============================================================================
+
+def _bwd_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
+                pix_ref, fwd_ref, gin_ref, grec_hbm, fslab, islab, grec,
+                semf, semi, semg):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    end = ends_ref[t]
+    n = end - start
+
+    dx = rayd_ref[0, 0]
+    dy = rayd_ref[0, 1]
+    dz = rayd_ref[0, 2]
+    px = pix_ref[0, 0]
+    py = pix_ref[0, 1]
+
+    final_T = fwd_ref[0, 0]
+    final_pT = fwd_ref[0, 1]
+    nc = fwd_ref[0, 2].astype(jnp.int32)
+
+    g_r = gin_ref[0, 0]
+    g_g = gin_ref[0, 1]
+    g_b = gin_ref[0, 2]
+    g_d = gin_ref[0, 3]
+    bg_dot = gin_ref[0, 4]
+
+    # Faces at list positions >= max(n_contrib) were never blended by any
+    # pixel of this tile (the early-exit analog of the forward): start the
+    # reverse walk at the last *contributing* slab. Skipped slabs are zeroed
+    # on the XLA side via the same position bound.
+    max_nc = jnp.max(nc)
+    n_eff = jnp.minimum(n, max_nc)
+    n_slabs = pl.cdiv(n_eff, SLAB)
+
+    shape = dx.shape
+    init = (
+        n_slabs - 1,
+        final_pT,
+        jnp.ones(shape, jnp.int32),  # "first processed" flag (i32 mask)
+        jnp.zeros(shape, jnp.float32),  # last_alpha
+        jnp.zeros(shape, jnp.float32),  # last_r
+        jnp.zeros(shape, jnp.float32),  # last_g
+        jnp.zeros(shape, jnp.float32),  # last_b
+        jnp.zeros(shape, jnp.float32),  # last_dep
+        jnp.zeros(shape, jnp.float32),  # acc_r
+        jnp.zeros(shape, jnp.float32),  # acc_g
+        jnp.zeros(shape, jnp.float32),  # acc_b
+        jnp.zeros(shape, jnp.float32),  # acc_d
+    )
+
+    def cond(c):
+        return c[0] >= 0
+
+    def body(c):
+        s, T, first, la, lr, lg, lb, ld, ar, ag, ab, ad = c
+        s0 = pl.multiple_of(start + s * SLAB, SLAB)
+        cf = pltpu.make_async_copy(
+            attrf_hbm.at[pl.ds(s0, SLAB), :], fslab, semf)
+        ci = pltpu.make_async_copy(
+            attri_hbm.at[pl.ds(s0, SLAB), :], islab, semi)
+        cf.start()
+        ci.start()
+        cf.wait()
+        ci.wait()
+
+        rem = jnp.minimum(n_eff - s * SLAB, SLAB)
+        base = s * SLAB
+
+        # rows not written by the face loop (inactive faces, tail padding)
+        # must contribute zero gradient records
+        grec[:, :] = jnp.zeros((SLAB, NG), jnp.float32)
+
+        def face_body(jj, st):
+            j = rem - 1 - jj  # reverse within slab
+            fs = _face_scalars(fslab, islab, j)
+            hitg, u, v, uc, vc, code, i0, i1, i2 = _coverage_and_uv(
+                fs, px, py, dx, dy, dz)
+            a = fs["alpha"]
+            pos = base + j
+            active = hitg & (pos < nc)
+
+            # Faces nobody blended leave all state unchanged and a zero
+            # record; skip their (heavy) gradient math entirely.
+            return lax.cond(
+                jnp.any(active),
+                lambda op: _bwd_face_heavy(op, fs, active, a, i0, i1, i2,
+                                           code, grec, j, px, py, dx, dy, dz,
+                                           g_r, g_g, g_b, g_d, bg_dot,
+                                           final_T, final_pT),
+                lambda op: op,
+                st,
+            )
+
+        st = (T, first, la, lr, lg, lb, ld, ar, ag, ab, ad)
+        st = lax.fori_loop(0, rem, face_body, st)
+
+        cg_dma = pltpu.make_async_copy(
+            grec, grec_hbm.at[pl.ds(s0, SLAB), :], semg)
+        cg_dma.start()
+        cg_dma.wait()
+
+        (T, first, la, lr, lg, lb, ld, ar, ag, ab, ad) = st
+        return (s - 1, T, first, la, lr, lg, lb, ld, ar, ag, ab, ad)
+
+    lax.while_loop(cond, body, init)
+
+
+def _bwd_face_heavy(st, fs, active, a, i0, i1, i2, code, grec, j,
+                    px, py, dx, dy, dz, g_r, g_g, g_b, g_d, bg_dot,
+                    final_T, final_pT):
+    (T, first, la, lr, lg, lb, ld, ar, ag, ab, ad) = st
+
+    one_m_a = jnp.maximum(1.0 - a, 1e-30)
+    T = jnp.where(active & (first == 0), T / one_m_a, T)
+    first = jnp.where(active, 0, first)
+
+    cr, cg, cb, dep = _interp_scalars(fs, i0, i1, i2)
+    c_attr = fs["c"]
+    cr_raw = i0 * c_attr[0] + i1 * c_attr[3] + i2 * c_attr[6]
+    cg_raw = i0 * c_attr[1] + i1 * c_attr[4] + i2 * c_attr[7]
+    cb_raw = i0 * c_attr[2] + i1 * c_attr[5] + i2 * c_attr[8]
+
+    ar_n = la * lr + (1.0 - la) * ar
+    ag_n = la * lg + (1.0 - la) * ag
+    ab_n = la * lb + (1.0 - la) * ab
+    ad_n = la * ld + (1.0 - la) * ad
+
+    aT = a * T
+    dic_r = g_r * aT
+    dic_g = g_g * aT
+    dic_b = g_b * aT
+    did = g_d * aT
+
+    dalpha = (
+        (cr - ar_n) * g_r + (cg - ag_n) * g_g + (cb - ab_n) * g_b
+        + (dep - ad_n) * g_d
+    ) * T
+    bg_coef = jnp.where(a == 1.0, -final_pT, -final_T / one_m_a)
+    dalpha = dalpha + bg_coef * bg_dot
+
+    m = active
+    mf = m.astype(jnp.float32)
+    dic_r = dic_r * mf
+    dic_g = dic_g * mf
+    dic_b = dic_b * mf
+    did = did * mf
+    dalpha = dalpha * mf
+
+    ar = jnp.where(m, ar_n, ar)
+    ag = jnp.where(m, ag_n, ag)
+    ab = jnp.where(m, ab_n, ab)
+    ad = jnp.where(m, ad_n, ad)
+    lr = jnp.where(m, cr, lr)
+    lg = jnp.where(m, cg, lg)
+    lb = jnp.where(m, cb, lb)
+    ld = jnp.where(m, dep, ld)
+    la = jnp.where(m, a, la)
+
+    # interpolation-weight gradients (backward.cu:313-349)
+    inten = fs["inten"]
+    dL_di0 = (c_attr[0] * dic_r + c_attr[1] * dic_g
+              + c_attr[2] * dic_b) * inten + fs["d"][0] * did
+    dL_di1 = (c_attr[3] * dic_r + c_attr[4] * dic_g
+              + c_attr[5] * dic_b) * inten + fs["d"][1] * did
+    dL_di2 = (c_attr[6] * dic_r + c_attr[7] * dic_g
+              + c_attr[8] * dic_b) * inten + fs["d"][2] * did
+
+    dL_duc = -dL_di0 + dL_di1
+    dL_dvc = -dL_di0 + dL_di2
+    duc_du, duc_dv, dvc_du, dvc_dv = clamp_bary_uv_grad(code)
+    dL_du = dL_duc * duc_du + dL_dvc * dvc_du
+    dL_dv = dL_duc * duc_dv + dL_dvc * dvc_dv
+
+    # Per-pixel Moller-Trumbore vertex gradients, reference formulas
+    # with the dv==dt quirk (geometry.ray_tri_uv_grads_reference).
+    e1x, e1y, e1z = fs["e1"]
+    e2x, e2y, e2z = fs["e2"]
+    tvx, tvy, tvz = fs["tv"]
+    rxe2x = dy * e2z - dz * e2y
+    rxe2y = dz * e2x - dx * e2z
+    rxe2z = dx * e2y - dy * e2x
+    denom_sqrt = rxe2x * e1x + rxe2y * e1y + rxe2z * e1z
+    den2 = denom_sqrt * denom_sqrt
+    inv2 = 1.0 / jnp.where(den2 == 0.0, 1.0, den2)
+    v0 = rxe2x * tvx + rxe2y * tvy + rxe2z * tvz  # u numerator
+    qx, qy, qz = fs["qv"]
+    v2n = qx * e2x + qy * e2y + qz * e2z  # t numerator (qv . e2)
+    txrx = tvy * dz - tvz * dy
+    txry = tvz * dx - tvx * dz
+    txrz = tvx * dy - tvy * dx
+    e1xrx = e1y * dz - e1z * dy
+    e1xry = e1z * dx - e1x * dz
+    e1xrz = e1x * dy - e1y * dx
+    e2xtx = e2y * tvz - e2z * tvy
+    e2xty = e2z * tvx - e2x * tvz
+    e2xtz = e2x * tvy - e2y * tvx
+    e12x = e1y * e2z - e1z * e2y
+    e12y = e1z * e2x - e1x * e2z
+    e12z = e1x * e2y - e1y * e2x
+
+    du_de1x = -rxe2x * v0 * inv2
+    du_de1y = -rxe2y * v0 * inv2
+    du_de1z = -rxe2z * v0 * inv2
+    du_de2x = (txrx * denom_sqrt - v0 * e1xrx) * inv2
+    du_de2y = (txry * denom_sqrt - v0 * e1xry) * inv2
+    du_de2z = (txrz * denom_sqrt - v0 * e1xrz) * inv2
+    du_dtx = rxe2x * denom_sqrt * inv2
+    du_dty = rxe2y * denom_sqrt * inv2
+    du_dtz = rxe2z * denom_sqrt * inv2
+
+    dv_de1x = (e2xtx * denom_sqrt - v2n * rxe2x) * inv2
+    dv_de1y = (e2xty * denom_sqrt - v2n * rxe2y) * inv2
+    dv_de1z = (e2xtz * denom_sqrt - v2n * rxe2z) * inv2
+    dv_de2x = (qx * denom_sqrt - v2n * e1xrx) * inv2
+    dv_de2y = (qy * denom_sqrt - v2n * e1xry) * inv2
+    dv_de2z = (qz * denom_sqrt - v2n * e1xrz) * inv2
+    dv_dtx = e12x * denom_sqrt * inv2
+    dv_dty = e12y * denom_sqrt * inv2
+    dv_dtz = e12z * denom_sqrt * inv2
+
+    gp1x = dL_du * du_de1x + dL_dv * dv_de1x
+    gp1y = dL_du * du_de1y + dL_dv * dv_de1y
+    gp1z = dL_du * du_de1z + dL_dv * dv_de1z
+    gp2x = dL_du * du_de2x + dL_dv * dv_de2x
+    gp2y = dL_du * du_de2y + dL_dv * dv_de2y
+    gp2z = dL_du * du_de2z + dL_dv * dv_de2z
+    gtx = dL_du * du_dtx + dL_dv * dv_dtx
+    gty = dL_du * du_dty + dL_dv * dv_dty
+    gtz = dL_du * du_dtz + dL_dv * dv_dtz
+    gp0x = -gp1x - gp2x - gtx
+    gp0y = -gp1y - gp2y - gty
+    gp0z = -gp1z - gp2z - gtz
+
+    # (1,1)-vector stores: Mosaic cannot store scalars to VMEM;
+    # full reductions with keepdims + dynamic-sublane slices are ok.
+    def put(col, val):
+        grec[pl.ds(j, 1), col:col + 1] = jnp.sum(
+            val, keepdims=True
+        ).astype(jnp.float32)
+
+    put(_G_ALPHA, dalpha)
+    vals_p = (gp0x, gp0y, gp0z, gp1x, gp1y, gp1z, gp2x, gp2y, gp2z)
+    for k, val in enumerate(vals_p):
+        put(_G_P + k, val)
+    vc_vals = (
+        i0 * dic_r, i0 * dic_g, i0 * dic_b,
+        i1 * dic_r, i1 * dic_g, i1 * dic_b,
+        i2 * dic_r, i2 * dic_g, i2 * dic_b,
+    )
+    for k, val in enumerate(vc_vals):
+        put(_G_VC + k, val)
+    put(_G_VD + 0, i0 * did)
+    put(_G_VD + 1, i1 * did)
+    put(_G_VD + 2, i2 * did)
+    put(_G_IN, cr_raw * dic_r + cg_raw * dic_g + cb_raw * dic_b)
+
+    return (T, first, la, lr, lg, lb, ld, ar, ag, ab, ad)
+
+
+def _run_bwd_kernel(starts, ends, attr_f, attr_i, rayd_t, pix_t, fwd_t,
+                    gin_t, n_tiles, cap):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 3, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((SLAB, NA), jnp.float32),
+            pltpu.VMEM((SLAB, NA), jnp.int32),
+            pltpu.VMEM((SLAB, NG), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((cap, NG), jnp.float32),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, ends, attr_f, attr_i, rayd_t, pix_t, fwd_t, gin_t)
+
+
+# =============================================================================
+# Pipeline assembly
+# =============================================================================
+
+def _binned_prepare(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
+                    inv_mv_t, inv_proj_t, verts_depth, faces_intense,
+                    height, width, kcap):
+    B = mv_t.shape[0]
+    gx = (width + TILE - 1) // TILE
+    gy = (height + TILE - 1) // TILE
+    n_tiles = B * gx * gy
+    cap = aligned_capacity(kcap, n_tiles, SLAB)
+
+    ndc, img = project_verts(verts, mv_t, proj_t, width, height)
+    pre = preprocess_faces(ndc, img, faces, width, height, TILE, TILE)
+    raw = emit_and_sort(pre, gx, gy, kcap)
+    keys = align_to_slabs(raw, n_tiles, SLAB, cap)
+
+    cam_o = inv_mv_t[:, 3, :3]  # [B, 3]
+    attr_f, attr_i = _build_slot_attrs(
+        verts, faces, verts_color, faces_opacity, verts_depth, faces_intense,
+        img, cam_o, keys,
+    )
+
+    ray_o, ray_d = generate_rays(inv_mv_t, inv_proj_t, width, height,
+                                 norm_eps_mode="tri")
+    rayd_t = _tileify(ray_d, B, height, width, gx, gy)  # [NT, 3, 8, 128]
+    pix_t = _pixel_coords(B, gx, gy)
+
+    return keys, attr_f, attr_i, rayd_t, pix_t, (B, gx, gy, cap)
+
+
+def _render_binned_impl(verts, faces, verts_color, faces_opacity, mv_t,
+                        proj_t, inv_mv_t, inv_proj_t, verts_depth,
+                        faces_intense, bg, height, width, kcap):
+    keys, attr_f, attr_i, rayd_t, pix_t, (B, gx, gy, cap) = _binned_prepare(
+        verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
+        inv_proj_t, verts_depth, faces_intense, height, width, kcap,
+    )
+    n_tiles = B * gx * gy
+    out = _run_fwd_kernel(keys.starts, keys.ends, attr_f, attr_i, rayd_t,
+                          pix_t, n_tiles)
+    img = _untile(out[:, 0:4], B, height, width, gx, gy)  # [B,H,W,4]
+    state = _untile(out[:, 4:7], B, height, width, gx, gy)  # T, pT, nc
+
+    T = state[..., 0]
+    color = img[..., 0:3] + T[..., None] * bg[None, None, None, :]
+    depth = img[..., 3] + T * 1.0
+    color = color.transpose(0, 3, 1, 2)
+    depth = depth[:, None, :, :]
+    return color, depth, out[:, 4:7], keys
+
+
+# =============================================================================
+# custom_vjp wrapper
+# =============================================================================
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def render_tri_binned(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
+                      inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg,
+                      height, width, kcap=None):
+    """Tile-binned differentiable tri renderer (scaled path).
+
+    Semantics identical to render_tri_oracle; see module docstring. ``kcap``
+    is the static (face, tile) key capacity; None picks a heuristic from
+    shapes. Overflow drops the farthest-sorting keys (reported via
+    binning.BinnedKeys.overflow in debug runs).
+    """
+    if kcap is None:
+        kcap = default_key_capacity(mv_t.shape[0], faces.shape[0])
+    color, depth, _, _ = _render_binned_impl(
+        verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
+        inv_proj_t, verts_depth, faces_intense, bg, height, width, kcap,
+    )
+    return color, depth
+
+
+def _b_fwd(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
+           inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg,
+           height, width, kcap):
+    if kcap is None:
+        kcap = default_key_capacity(mv_t.shape[0], faces.shape[0])
+    color, depth, fwd_state_t, keys = _render_binned_impl(
+        verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
+        inv_proj_t, verts_depth, faces_intense, bg, height, width, kcap,
+    )
+    res = (verts, faces, verts_color, faces_opacity, mv_t, proj_t,
+           inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg,
+           fwd_state_t, keys)
+    return (color, depth), res
+
+
+def _b_bwd(height, width, kcap, res, cots):
+    (verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
+     inv_proj_t, verts_depth, faces_intense, bg, fwd_state_t, keys) = res
+    dL_dcolor, dL_ddepth = cots
+    if kcap is None:
+        kcap = default_key_capacity(mv_t.shape[0], faces.shape[0])
+
+    B = mv_t.shape[0]
+    P = verts.shape[0]
+    F = faces.shape[0]
+    gx = (width + TILE - 1) // TILE
+    gy = (height + TILE - 1) // TILE
+    n_tiles = B * gx * gy
+    cap = aligned_capacity(kcap, n_tiles, SLAB)
+
+    # Rebuild slot attributes from the saved key table (cheap gathers; the
+    # analog of re-deriving CUDA state from saved opaque buffers).
+    ndc, img = project_verts(verts, mv_t, proj_t, width, height)
+    cam_o = inv_mv_t[:, 3, :3]
+    attr_f, attr_i = _build_slot_attrs(
+        verts, faces, verts_color, faces_opacity, verts_depth, faces_intense,
+        img, cam_o, keys,
+    )
+    ray_o, ray_d = generate_rays(inv_mv_t, inv_proj_t, width, height,
+                                 norm_eps_mode="tri")
+    rayd_t = _tileify(ray_d, B, height, width, gx, gy)
+    pix_t = _pixel_coords(B, gx, gy)
+
+    gcol = dL_dcolor.transpose(0, 2, 3, 1)  # [B, H, W, 3]
+    gdep = dL_ddepth[:, 0, :, :]  # [B, H, W]
+    bg_dot = jnp.einsum("c,bhwc->bhw", bg, gcol) + gdep
+    gin = jnp.concatenate(
+        [gcol, gdep[..., None], bg_dot[..., None]], axis=-1
+    )  # [B, H, W, 5]
+    gin_t = _tileify(gin, B, height, width, gx, gy)
+
+    rec = _run_bwd_kernel(keys.starts, keys.ends, attr_f, attr_i, rayd_t,
+                          pix_t, fwd_state_t, gin_t, n_tiles, cap)
+
+    # The kernel only writes slabs up to each tile's last contributing face
+    # (max n_contrib); zero everything else: skipped slabs, alignment
+    # padding, and dead capacity.
+    nc_t = fwd_state_t[:, 2]  # [NT, 8, 128]
+    max_nc_tile = jnp.max(nc_t, axis=(1, 2)).astype(jnp.int32)  # [NT]
+    counts = keys.ends - keys.starts
+    used = jnp.minimum(counts, max_nc_tile)
+    used_len = ((used + SLAB - 1) // SLAB) * SLAB
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    tile_of = jnp.clip(
+        jnp.searchsorted(keys.starts, slot, side="right").astype(jnp.int32)
+        - 1, 0, n_tiles - 1,
+    )
+    keep = keys.live & ((slot - keys.starts[tile_of]) < used_len[tile_of])
+    rec = jnp.where(keep[:, None], rec, 0.0)
+
+    f = keys.face
+    b = keys.batch
+    fv = faces[f]  # [K, 3]
+    inten = faces_intense[b, f]
+
+    g_fopacity = jnp.zeros((F,), jnp.float32).at[f].add(rec[:, _G_ALPHA])
+    g_verts = jnp.zeros((P, 3), jnp.float32).at[fv].add(
+        rec[:, _G_P:_G_P + 9].reshape(-1, 3, 3)
+    )
+    g_vcolor = jnp.zeros((P, 3), jnp.float32).at[fv].add(
+        rec[:, _G_VC:_G_VC + 9].reshape(-1, 3, 3) * inten[:, None, None]
+    )
+    g_vdepth = jnp.zeros((B, P), jnp.float32).at[b[:, None], fv].add(
+        rec[:, _G_VD:_G_VD + 3]
+    )
+    g_fintense = jnp.zeros((B, F), jnp.float32).at[b, f].add(rec[:, _G_IN])
+
+    def zi(x):
+        return np.zeros(x.shape, jax.dtypes.float0)
+
+    return (
+        g_verts,
+        zi(faces),
+        g_vcolor,
+        g_fopacity,
+        jnp.zeros_like(mv_t),
+        jnp.zeros_like(proj_t),
+        jnp.zeros_like(inv_mv_t),
+        jnp.zeros_like(inv_proj_t),
+        g_vdepth,
+        g_fintense,
+        jnp.zeros_like(bg),
+    )
+
+
+render_tri_binned.defvjp(_b_fwd, _b_bwd)
