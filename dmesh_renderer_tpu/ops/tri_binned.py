@@ -72,7 +72,7 @@ Array = jax.Array
 
 TILE = 32          # pixels per tile side; 32*32 = 1024 = 8*128 VPU block
 PSUB, PLANE = 8, 128
-SLAB = 128         # faces per HBM->VMEM DMA slab (sublane window)
+SLAB = 32          # faces per HBM->SMEM DMA slab (sized to scalar memory)
 NA = 128           # attr columns per slot (lane-dim, must be 128)
 NG = 128           # gradient-record columns per slot (lane-dim)
 
@@ -88,6 +88,8 @@ _ALPHA, _INTEN = 24, 25
 # int table:
 _EDGE = 0          # A1 B1 C1 A2 B2 C2 A3 B3 C3
 _NONDEG = 9
+
+NG_USED = 24       # gradient-record columns actually written
 
 # gradient record column layout
 _G_ALPHA = 0
@@ -202,6 +204,12 @@ def _pixel_coords(B, gx, gy):
 # =============================================================================
 
 def _face_scalars(fslab, islab, j):
+    """Per-face attrs as true scalars from SMEM (SREG splats in vector ops).
+
+    Attribute slabs live in *scalar memory*: dynamic scalar reads there are
+    the canonical Mosaic pattern (VMEM scalar reads serialize on vector
+    latency, and any (1,1)->vector path trips Mosaic's unimplemented
+    dual-axis broadcast)."""
     return {
         "tv": [fslab[j, _TV + k] for k in range(3)],
         "e1": [fslab[j, _E1 + k] for k in range(3)],
@@ -302,7 +310,7 @@ def _fwd_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
         cf.wait()
         ci.wait()
 
-        rem = n - s * SLAB
+        rem = jnp.minimum(n - s * SLAB, SLAB)
         base = s * SLAB
 
         def face_body(j, st):
@@ -325,7 +333,7 @@ def _fwd_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
             return (done, T, pT, Cr, Cg, Cb, D, nc)
 
         st = (done, T, pT, Cr, Cg, Cb, D, nc)
-        st = lax.fori_loop(0, jnp.minimum(rem, SLAB), face_body, st)
+        st = lax.fori_loop(0, rem, face_body, st)
         done, T, pT, Cr, Cg, Cb, D, nc = st
         return (s + 1, done, T, pT, Cr, Cg, Cb, D, nc)
 
@@ -355,8 +363,8 @@ def _run_fwd_kernel(starts, ends, attr_f, attr_i, rayd_t, pix_t, n_tiles):
         out_specs=pl.BlockSpec((1, 7, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((SLAB, NA), jnp.float32),
-            pltpu.VMEM((SLAB, NA), jnp.int32),
+            pltpu.SMEM((SLAB, NA), jnp.float32),
+            pltpu.SMEM((SLAB, NA), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -439,9 +447,16 @@ def _bwd_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
         rem = jnp.minimum(n_eff - s * SLAB, SLAB)
         base = s * SLAB
 
-        # rows not written by the face loop (inactive faces, tail padding)
-        # must contribute zero gradient records
-        grec[:, :] = jnp.zeros((SLAB, NG), jnp.float32)
+        def zero_row(j):
+            for col in range(NG_USED):
+                grec[j, col] = 0.0
+
+        # tail rows (alignment padding / beyond-max_nc faces) -> zero records
+        def tail_body(j, carry):
+            zero_row(j)
+            return carry
+
+        lax.fori_loop(rem, SLAB, tail_body, 0)
 
         def face_body(jj, st):
             j = rem - 1 - jj  # reverse within slab
@@ -452,17 +467,18 @@ def _bwd_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
             pos = base + j
             active = hitg & (pos < nc)
 
-            # Faces nobody blended leave all state unchanged and a zero
-            # record; skip their (heavy) gradient math entirely.
-            return lax.cond(
-                jnp.any(active),
-                lambda op: _bwd_face_heavy(op, fs, active, a, i0, i1, i2,
-                                           code, grec, j, px, py, dx, dy, dz,
-                                           g_r, g_g, g_b, g_d, bg_dot,
-                                           final_T, final_pT),
-                lambda op: op,
-                st,
-            )
+            def heavy(op):
+                return _bwd_face_heavy(
+                    op, fs, active, a, i0, i1, i2, code, grec, j,
+                    px, py, dx, dy, dz, g_r, g_g, g_b, g_d, bg_dot,
+                    final_T, final_pT)
+
+            def skip(op):
+                # Faces nobody blended: state unchanged, zero record.
+                zero_row(j)
+                return op
+
+            return lax.cond(jnp.any(active), heavy, skip, st)
 
         st = (T, first, la, lr, lg, lb, ld, ar, ag, ab, ad)
         st = lax.fori_loop(0, rem, face_body, st)
@@ -604,12 +620,8 @@ def _bwd_face_heavy(st, fs, active, a, i0, i1, i2, code, grec, j,
     gp0y = -gp1y - gp2y - gty
     gp0z = -gp1z - gp2z - gtz
 
-    # (1,1)-vector stores: Mosaic cannot store scalars to VMEM;
-    # full reductions with keepdims + dynamic-sublane slices are ok.
     def put(col, val):
-        grec[pl.ds(j, 1), col:col + 1] = jnp.sum(
-            val, keepdims=True
-        ).astype(jnp.float32)
+        grec[j, col] = jnp.sum(val)
 
     put(_G_ALPHA, dalpha)
     vals_p = (gp0x, gp0y, gp0z, gp1x, gp1y, gp1z, gp2x, gp2y, gp2z)
@@ -649,9 +661,9 @@ def _run_bwd_kernel(starts, ends, attr_f, attr_i, rayd_t, pix_t, fwd_t,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((SLAB, NA), jnp.float32),
-            pltpu.VMEM((SLAB, NA), jnp.int32),
-            pltpu.VMEM((SLAB, NG), jnp.float32),
+            pltpu.SMEM((SLAB, NA), jnp.float32),
+            pltpu.SMEM((SLAB, NA), jnp.int32),
+            pltpu.SMEM((SLAB, NG), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
