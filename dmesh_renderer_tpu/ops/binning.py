@@ -52,6 +52,11 @@ def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
     min_depth, valid -- all [B, F]).
     sort_by: "depth" (tri renderer) or "min_depth" (tet renderer,
     renderer_impl.cu:318-329).
+
+    TPU notes: the slot -> owning-face inversion is a boundary scatter +
+    cummax (searchsorted at key capacity costs ~20 bisection gathers); the
+    per-slot face metadata (rect origin/width) travels as one bit-packed
+    int gather.
     """
     tiles = pre["tiles"]  # [B, F]
     B, F = tiles.shape
@@ -62,29 +67,45 @@ def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
     excl = incl - flat
     total = incl[-1] if flat.size else jnp.int32(0)
 
+    # slot -> face inversion: each emitting face marks its first slot with
+    # its own index; cummax forward-fills ownership (ranges are contiguous
+    # and the first emitting face starts at slot 0).
+    q = jnp.arange(B * F, dtype=jnp.int32)
+    emitting = flat > 0
+    marks = jnp.zeros((kcap,), jnp.int32).at[
+        jnp.where(emitting, excl, kcap)
+    ].max(q, mode="drop")
+    bf = lax.cummax(marks)
+
     slots = jnp.arange(kcap, dtype=jnp.int32)
-    bf = jnp.searchsorted(incl, slots, side="right").astype(jnp.int32)
-    bf = jnp.minimum(bf, B * F - 1)
-    k = slots - excl[bf]
     in_range = slots < total
 
-    b = bf // F
-    f = bf % F
+    # rect origin (x, y) and width, bit-packed 10+10+10 (grid dims < 1024)
+    packed = (
+        pre["rect_min"][..., 0].astype(jnp.int32)
+        | (pre["rect_min"][..., 1].astype(jnp.int32) << 10)
+        | (jnp.maximum(
+            pre["rect_max"][..., 0] - pre["rect_min"][..., 0], 1) << 20)
+    ).reshape(-1)
+    depth = pre["min_depth" if sort_by == "min_depth" else "depth"]
 
-    rect_min = pre["rect_min"].reshape(B * F, 2)[bf]  # [KCAP, 2]
-    rect_max = pre["rect_max"].reshape(B * F, 2)[bf]
-    nx = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
-    tx = rect_min[:, 0] + k % nx
-    ty = rect_min[:, 1] + k // nx
+    pk = packed[bf]
+    k = slots - excl[bf]
+    dkey = jnp.where(in_range, depth.reshape(-1)[bf], jnp.float32(2.0))
+
+    rx = pk & 0x3FF
+    ry = (pk >> 10) & 0x3FF
+    nx = (pk >> 20) & 0x3FF
+    tx = rx + k % nx
+    ty = ry + k // nx
     tile_id = ty * grid_x + tx
 
     big = jnp.int32(B * n_tiles)
+    b = bf // F
     tile_key = jnp.where(in_range, b * n_tiles + tile_id, big)
-    depth = pre["min_depth" if sort_by == "min_depth" else "depth"]
-    dkey = jnp.where(in_range, depth.reshape(-1)[bf], jnp.float32(2.0))
 
-    tile_key_s, _d, face_s, batch_s = lax.sort(
-        (tile_key, dkey, f, b), num_keys=2, is_stable=True
+    tile_key_s, _d, bf_s = lax.sort(
+        (tile_key, dkey, bf), num_keys=2, is_stable=True
     )
 
     tids = jnp.arange(B * n_tiles, dtype=jnp.int32)
@@ -92,8 +113,8 @@ def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
     ends = jnp.searchsorted(tile_key_s, tids, side="right").astype(jnp.int32)
 
     return BinnedKeys(
-        face=face_s.astype(jnp.int32),
-        batch=batch_s.astype(jnp.int32),
+        face=(bf_s % F).astype(jnp.int32),
+        batch=(bf_s // F).astype(jnp.int32),
         tile_key=tile_key_s,
         starts=starts,
         ends=ends,
@@ -102,7 +123,7 @@ def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
     )
 
 
-def default_key_capacity(B: int, F: int, avg_tiles_per_face: int = 8) -> int:
+def default_key_capacity(B: int, F: int, avg_tiles_per_face: int = 16) -> int:
     """Static key capacity heuristic, rounded to a 128 multiple."""
     kcap = max(1024, B * F * avg_tiles_per_face)
     return ((kcap + 127) // 128) * 128
@@ -116,6 +137,7 @@ class AlignedKeys(NamedTuple):
     face: Array       # [cap] int32
     batch: Array      # [cap] int32
     live: Array       # [cap] bool -- real entry (not alignment padding)
+    tile: Array       # [cap] int32 owning tile (valid where live)
     starts: Array     # [B * n_tiles] int32 (each a multiple of slab)
     ends: Array       # [B * n_tiles] int32
     total: Array      # [] int32 real pairs emitted (pre-padding)
@@ -149,9 +171,10 @@ def align_to_slabs(keys: BinnedKeys, n_tiles_total: int, slab: int,
     face = jnp.zeros((cap,), jnp.int32).at[pos].set(keys.face, mode="drop")
     batch = jnp.zeros((cap,), jnp.int32).at[pos].set(keys.batch, mode="drop")
     live = jnp.zeros((cap,), jnp.bool_).at[pos].set(real, mode="drop")
+    tile = jnp.zeros((cap,), jnp.int32).at[pos].set(tk_safe, mode="drop")
 
     return AlignedKeys(
-        face=face, batch=batch, live=live,
+        face=face, batch=batch, live=live, tile=tile,
         starts=new_starts, ends=new_ends,
         total=keys.total, overflow=keys.overflow,
     )

@@ -107,35 +107,43 @@ def _interpret() -> bool:
 # XLA-side slot attribute construction
 # =============================================================================
 
-def _build_slot_attrs(verts, faces, verts_color, faces_opacity, verts_depth,
-                      faces_intense, img, cam_o, keys: AlignedKeys):
-    """Pack per-slot face constants into [cap, NA] f32 + i32 tables."""
-    f = keys.face
-    b = keys.batch
-    fv = faces[f]  # [K, 3]
-    p0, p1, p2 = verts[fv[:, 0]], verts[fv[:, 1]], verts[fv[:, 2]]
+def _build_face_tables(verts, faces, verts_color, faces_opacity,
+                       verts_depth, faces_intense, img, cam_o):
+    """Per-(view, face) attr tables at [B*F, NA] -- built at face scale
+    (cheap), then expanded to slots with a single row gather each."""
+    B = cam_o.shape[0]
+    F = faces.shape[0]
+    p0 = verts[faces[:, 0]]  # [F, 3]
+    p1 = verts[faces[:, 1]]
+    p2 = verts[faces[:, 2]]
     e1 = p1 - p0
     e2 = p2 - p0
-    tv = cam_o[b] - p0
-    qv = jnp.cross(tv, e1)
+    tv = cam_o[:, None, :] - p0[None]  # [B, F, 3]
+    qv = jnp.cross(tv, jnp.broadcast_to(e1[None], tv.shape))
 
-    c = verts_color[fv].reshape(-1, 9)  # [K, 9]
-    d = verts_depth[b[:, None], fv]  # [K, 3]
-    alpha = faces_opacity[f]
-    inten = faces_intense[b, f]
+    c = verts_color[faces].reshape(F, 9)  # [F, 9]
+    d = verts_depth[:, faces]  # [B, F, 3]
 
-    K = f.shape[0]
     fcols = jnp.concatenate(
-        [tv, e1, e2, qv, c, d, alpha[:, None], inten[:, None]], axis=1
-    )  # [K, 26] float attrs in _TV.._INTEN column order
-    attr_f = jnp.pad(fcols, ((0, 0), (0, NA - fcols.shape[1])))
+        [
+            tv,
+            jnp.broadcast_to(e1[None], (B, F, 3)),
+            jnp.broadcast_to(e2[None], (B, F, 3)),
+            qv,
+            jnp.broadcast_to(c[None], (B, F, 9)),
+            d,
+            jnp.broadcast_to(faces_opacity[None, :, None], (B, F, 1)),
+            faces_intense[..., None],
+        ],
+        axis=-1,
+    )  # [B, F, 26] in _TV.._INTEN column order
 
     # Fixed-point coverage edge coefficients (auxiliary.h:179-243).
-    im = img[b[:, None], fv]  # [K, 3, 2] float pixel coords
+    im = img[:, faces, :]  # [B, F, 3, 2]
     xi = (im[..., 0] * 16.0).astype(jnp.int32)  # truncation toward zero
     yi = (im[..., 1] * 16.0).astype(jnp.int32)
-    x1, x2, x3 = xi[:, 0], xi[:, 1], xi[:, 2]
-    y1, y2, y3 = yi[:, 0], yi[:, 1], yi[:, 2]
+    x1, x2, x3 = xi[..., 0], xi[..., 1], xi[..., 2]
+    y1, y2, y3 = yi[..., 0], yi[..., 1], yi[..., 2]
 
     area = (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)
     neg = area < 0
@@ -148,10 +156,7 @@ def _build_slot_attrs(verts, faces, verts_color, faces_opacity, verts_depth,
         cx = xa - xb
         cy = ya - yb
         bias = ((cy > 0) | ((cy == 0) & (cx > 0))).astype(jnp.int32)
-        A = -cy
-        B = cx
-        C = cy * xa - cx * ya - bias
-        return A, B, C
+        return -cy, cx, cy * xa - cx * ya - bias
 
     A1, B1, C1 = edge(x1, y1, x2s, y2s)
     A2, B2, C2 = edge(x2s, y2s, x3s, y3s)
@@ -159,10 +164,20 @@ def _build_slot_attrs(verts, faces, verts_color, faces_opacity, verts_depth,
 
     icols = jnp.stack(
         [A1, B1, C1, A2, B2, C2, A3, B3, C3,
-         (area != 0).astype(jnp.int32)], axis=1
-    )  # [K, 10] int attrs in _EDGE.._NONDEG column order
-    attr_i = jnp.pad(icols, ((0, 0), (0, NA - icols.shape[1])))
-    return attr_f, attr_i
+         (area != 0).astype(jnp.int32)], axis=-1
+    )  # [B, F, 10]
+
+    nf = fcols.shape[-1]
+    ni = icols.shape[-1]
+    face_f = jnp.pad(fcols.reshape(B * F, nf), ((0, 0), (0, NA - nf)))
+    face_i = jnp.pad(icols.reshape(B * F, ni), ((0, 0), (0, NA - ni)))
+    return face_f, face_i
+
+
+def _build_slot_attrs(face_f, face_i, keys: AlignedKeys, F: int):
+    """Expand face tables to the slot table: one row gather each."""
+    flat = keys.batch * F + keys.face
+    return face_f[flat], face_i[flat]
 
 
 # =============================================================================
@@ -697,10 +712,11 @@ def _binned_prepare(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     keys = align_to_slabs(raw, n_tiles, SLAB, cap)
 
     cam_o = inv_mv_t[:, 3, :3]  # [B, 3]
-    attr_f, attr_i = _build_slot_attrs(
+    face_f, face_i = _build_face_tables(
         verts, faces, verts_color, faces_opacity, verts_depth, faces_intense,
-        img, cam_o, keys,
+        img, cam_o,
     )
+    attr_f, attr_i = _build_slot_attrs(face_f, face_i, keys, faces.shape[0])
 
     ray_o, ray_d = generate_rays(inv_mv_t, inv_proj_t, width, height,
                                  norm_eps_mode="tri")
@@ -728,7 +744,7 @@ def _render_binned_impl(verts, faces, verts_color, faces_opacity, mv_t,
     depth = img[..., 3] + T * 1.0
     color = color.transpose(0, 3, 1, 2)
     depth = depth[:, None, :, :]
-    return color, depth, out[:, 4:7], keys
+    return color, depth, out[:, 4:7], keys, (attr_f, attr_i, rayd_t, pix_t)
 
 
 # =============================================================================
@@ -748,7 +764,7 @@ def render_tri_binned(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     """
     if kcap is None:
         kcap = default_key_capacity(mv_t.shape[0], faces.shape[0])
-    color, depth, _, _ = _render_binned_impl(
+    color, depth, _, _, _ = _render_binned_impl(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
         inv_proj_t, verts_depth, faces_intense, bg, height, width, kcap,
     )
@@ -760,19 +776,23 @@ def _b_fwd(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
            height, width, kcap):
     if kcap is None:
         kcap = default_key_capacity(mv_t.shape[0], faces.shape[0])
-    color, depth, fwd_state_t, keys = _render_binned_impl(
+    color, depth, fwd_state_t, keys, saved = _render_binned_impl(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
         inv_proj_t, verts_depth, faces_intense, bg, height, width, kcap,
     )
+    # Residuals keep the slot attr tables and tiled ray/pixel data -- the
+    # analog of the reference's opaque saved buffers (__init__.py:97-110) --
+    # so the backward pass skips the projection/sort/gather rebuild.
     res = (verts, faces, verts_color, faces_opacity, mv_t, proj_t,
            inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg,
-           fwd_state_t, keys)
+           fwd_state_t, keys, saved)
     return (color, depth), res
 
 
 def _b_bwd(height, width, kcap, res, cots):
     (verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
-     inv_proj_t, verts_depth, faces_intense, bg, fwd_state_t, keys) = res
+     inv_proj_t, verts_depth, faces_intense, bg, fwd_state_t, keys,
+     saved) = res
     dL_dcolor, dL_ddepth = cots
     if kcap is None:
         kcap = default_key_capacity(mv_t.shape[0], faces.shape[0])
@@ -785,18 +805,7 @@ def _b_bwd(height, width, kcap, res, cots):
     n_tiles = B * gx * gy
     cap = aligned_capacity(kcap, n_tiles, SLAB)
 
-    # Rebuild slot attributes from the saved key table (cheap gathers; the
-    # analog of re-deriving CUDA state from saved opaque buffers).
-    ndc, img = project_verts(verts, mv_t, proj_t, width, height)
-    cam_o = inv_mv_t[:, 3, :3]
-    attr_f, attr_i = _build_slot_attrs(
-        verts, faces, verts_color, faces_opacity, verts_depth, faces_intense,
-        img, cam_o, keys,
-    )
-    ray_o, ray_d = generate_rays(inv_mv_t, inv_proj_t, width, height,
-                                 norm_eps_mode="tri")
-    rayd_t = _tileify(ray_d, B, height, width, gx, gy)
-    pix_t = _pixel_coords(B, gx, gy)
+    attr_f, attr_i, rayd_t, pix_t = saved
 
     gcol = dL_dcolor.transpose(0, 2, 3, 1)  # [B, H, W, 3]
     gdep = dL_ddepth[:, 0, :, :]  # [B, H, W]
@@ -818,10 +827,7 @@ def _b_bwd(height, width, kcap, res, cots):
     used = jnp.minimum(counts, max_nc_tile)
     used_len = ((used + SLAB - 1) // SLAB) * SLAB
     slot = jnp.arange(cap, dtype=jnp.int32)
-    tile_of = jnp.clip(
-        jnp.searchsorted(keys.starts, slot, side="right").astype(jnp.int32)
-        - 1, 0, n_tiles - 1,
-    )
+    tile_of = keys.tile
     keep = keys.live & ((slot - keys.starts[tile_of]) < used_len[tile_of])
     rec = jnp.where(keep[:, None], rec, 0.0)
 
