@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 # ms/frame fwd+bwd recorded at the end of round 1 (for vs_baseline tracking)
-BENCH_HISTORY_MS = None  # set after round 1 records its first number
+BENCH_HISTORY_MS = 189.4  # round 1, TPU v5e single chip
 
 
 def _build(n_tris, n_views, height, width, seed=0):

@@ -57,6 +57,10 @@ Array = jax.Array
 # Chunk of faces processed per first-hit scan step (VPU-friendly width).
 FIRST_HIT_CHUNK = 128
 
+# Above this face count the tile-binned Pallas first-hit kernel is used
+# instead of the dense chunked min-reduction.
+BINNED_FIRST_HIT_THRESHOLD = 2048
+
 
 # =============================================================================
 # First-hit search
@@ -263,21 +267,41 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
     B = mv_t.shape[0]
     N = height * width
 
-    ndc, img = project_verts(verts, mv_t, proj_t, width, height)
-    pre = preprocess_faces(ndc, img, faces, width, height, TILE_X, TILE_Y)
-    sort_key = jnp.where(pre["valid"], pre["min_depth"], jnp.inf)
-    order = jnp.argsort(sort_key, axis=1, stable=True)
+    use_binned = faces.shape[0] > BINNED_FIRST_HIT_THRESHOLD
 
-    ray_o, ray_d = generate_rays(
+    ndc, img = project_verts(verts, mv_t, proj_t, width, height)
+    if use_binned:
+        # rects must be in the Pallas kernel's tile grid
+        from .tri_binned import TILE as KTILE
+
+        pre = preprocess_faces(ndc, img, faces, width, height, KTILE, KTILE)
+    else:
+        pre = preprocess_faces(ndc, img, faces, width, height, TILE_X, TILE_Y)
+
+    ray_o, ray_d_img = generate_rays(
         inv_mv_t, inv_proj_t, width, height, norm_eps_mode="tet",
         jitter_seed=seed if seed > 0 else None,
     )
     ray_o = ray_o.reshape(B, N, 3)
-    ray_d = ray_d.reshape(B, N, 3)
+    ray_d = ray_d_img.reshape(B, N, 3)
 
-    first_face, rt, iu, iv = _first_intersection(
-        verts, faces, pre["valid"], order, ray_o, ray_d
-    )
+    if use_binned:
+        # Tile-binned Pallas first-hit (reference structure: min-depth
+        # sorted tile lists with depth-window early-out).
+        from .binning import default_key_capacity
+        from .tet_first_hit import first_intersection_binned
+
+        kcap = default_key_capacity(B, faces.shape[0])
+        first_face, rt, iu, iv = first_intersection_binned(
+            verts, faces, pre, img, inv_mv_t[:, 3, :3], ray_d_img,
+            height, width, B, kcap,
+        )
+    else:
+        sort_key = jnp.where(pre["valid"], pre["min_depth"], jnp.inf)
+        order = jnp.argsort(sort_key, axis=1, stable=True)
+        first_face, rt, iu, iv = _first_intersection(
+            verts, faces, pre["valid"], order, ray_o, ray_d
+        )
 
     # starting tet: the side whose outward first-face normal opposes the ray
     # (forward.cu:420-444; when both qualify the second entry wins)

@@ -1,0 +1,198 @@
+"""Tile-binned first-hit search for the tet renderer (Pallas TPU kernel).
+
+TPU re-design of firstIntersectCUDA (cuda_renderer/forward.cu:298-445): per
+32x32-pixel tile, walk the tile's face list sorted by per-face *min* depth
+(renderer_impl.cu:318-329) and keep the strictly-smallest ray parameter t
+among strict Moller-Trumbore hits, with the reference's depth-window
+early-out: once a hit exists and the next face's min depth exceeds the
+current best hit's max depth, the scan stops (forward.cu:388-391).
+
+Shares the binning pipeline and SMEM attribute-slab machinery with the tri
+renderer (see tri_binned.py); the subsequent connectivity ray march stays in
+XLA (ops/tet.py) -- it is bounded by walk length, not face count.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import align_to_slabs, aligned_capacity, emit_and_sort
+from .tri_binned import (
+    NA,
+    PLANE,
+    PSUB,
+    SLAB,
+    TILE,
+    _build_face_tables,
+    _build_slot_attrs,
+    _interpret,
+    _tileify,
+    _untile,
+    _FID,
+    _E1,
+    _E2,
+    _MAXD,
+    _MIND,
+    _QV,
+    _TV,
+)
+
+Array = jax.Array
+
+_BIG = 3.0e38
+
+
+def _fh_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
+               out_ref, fslab, islab, semf, semi):
+    t_idx = pl.program_id(0)
+    start = starts_ref[t_idx]
+    end = ends_ref[t_idx]
+    n = end - start
+
+    dx = rayd_ref[0, 0]
+    dy = rayd_ref[0, 1]
+    dz = rayd_ref[0, 2]
+    shape = dx.shape
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros(shape, jnp.int32),          # done
+        jnp.full(shape, _BIG, jnp.float32),   # best t
+        jnp.zeros(shape, jnp.float32),        # best hit's max depth
+        jnp.full(shape, -1.0, jnp.float32),   # first face (float; ids < 2^24)
+        jnp.zeros(shape, jnp.float32),        # u at hit
+        jnp.zeros(shape, jnp.float32),        # v at hit
+    )
+    n_slabs = pl.cdiv(n, SLAB)
+
+    def cond(c):
+        s, done = c[0], c[1]
+        return (s < n_slabs) & jnp.logical_not(jnp.all(done > 0))
+
+    def body(c):
+        s, done, bt, bmax, bface, bu, bv = c
+        s0 = pl.multiple_of(start + s * SLAB, SLAB)
+        cf = pltpu.make_async_copy(
+            attrf_hbm.at[pl.ds(s0, SLAB), :], fslab, semf)
+        ci = pltpu.make_async_copy(
+            attri_hbm.at[pl.ds(s0, SLAB), :], islab, semi)
+        cf.start()
+        ci.start()
+        cf.wait()
+        ci.wait()
+
+        rem = jnp.minimum(n - s * SLAB, SLAB)
+
+        def face_body(j, st):
+            done, bt, bmax, bface, bu, bv = st
+            tvx, tvy, tvz = (fslab[j, _TV + k] for k in range(3))
+            e1x, e1y, e1z = (fslab[j, _E1 + k] for k in range(3))
+            e2x, e2y, e2z = (fslab[j, _E2 + k] for k in range(3))
+            qx, qy, qz = (fslab[j, _QV + k] for k in range(3))
+            min_d = fslab[j, _MIND]
+            max_d = fslab[j, _MAXD]
+            fid = islab[j, _FID].astype(jnp.float32)
+
+            # depth-window early-out (forward.cu:388-391)
+            done = jnp.where((bt < _BIG) & (min_d > bmax), 1, done)
+
+            # strict Moller-Trumbore (cuda_renderer/auxiliary.h:270-295);
+            # no 2D coverage test here -- list membership (culling) plus the
+            # strict hit decide, like the reference.
+            Px = dy * e2z - dz * e2y
+            Py = dz * e2x - dx * e2z
+            Pz = dx * e2y - dy * e2x
+            denom = Px * e1x + Py * e1y + Pz * e1z
+            nd = denom != 0.0
+            inv = 1.0 / jnp.where(nd, denom, 1.0)
+            tt = (qx * e2x + qy * e2y + qz * e2z) * inv
+            u = (Px * tvx + Py * tvy + Pz * tvz) * inv
+            v = (qx * dx + qy * dy + qz * dz) * inv
+            hit = (nd & (tt >= 0.0) & (u >= 0.0) & (v >= 0.0)
+                   & (u + v <= 1.0))
+
+            better = hit & (done == 0) & (tt < bt)
+            bt = jnp.where(better, tt, bt)
+            bmax = jnp.where(better, max_d, bmax)
+            bface = jnp.where(better, fid, bface)
+            bu = jnp.where(better, u, bu)
+            bv = jnp.where(better, v, bv)
+            return (done, bt, bmax, bface, bu, bv)
+
+        st = (done, bt, bmax, bface, bu, bv)
+        st = lax.fori_loop(0, rem, face_body, st)
+        done, bt, bmax, bface, bu, bv = st
+        return (s + 1, done, bt, bmax, bface, bu, bv)
+
+    c = lax.while_loop(cond, body, init)
+    _s, _done, bt, _bmax, bface, bu, bv = c
+    out_ref[0, 0] = bface
+    out_ref[0, 1] = jnp.where(bt < _BIG, bt, 0.0)
+    out_ref[0, 2] = bu
+    out_ref[0, 3] = bv
+
+
+def _run_fh_kernel(starts, ends, attr_f, attr_i, rayd_t, n_tiles):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 3, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((SLAB, NA), jnp.float32),
+            pltpu.SMEM((SLAB, NA), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _fh_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 4, PSUB, PLANE), jnp.float32),
+        interpret=_interpret(),
+    )(starts, ends, attr_f, attr_i, rayd_t)
+
+
+def first_intersection_binned(verts, faces, pre, img, cam_o, ray_d,
+                              height, width, B, kcap):
+    """Tile-binned first hit. ray_d: [B, H, W, 3] (jitter included).
+
+    Returns (first_face [B, N] int32 (-1 miss), t, u, v [B, N]).
+    """
+    gx = (width + TILE - 1) // TILE
+    gy = (height + TILE - 1) // TILE
+    n_tiles = B * gx * gy
+    cap = aligned_capacity(kcap, n_tiles, SLAB)
+
+    raw = emit_and_sort(pre, gx, gy, kcap, sort_by="min_depth")
+    keys = align_to_slabs(raw, n_tiles, SLAB, cap)
+
+    F = faces.shape[0]
+    P = verts.shape[0]
+    face_f, face_i = _build_face_tables(
+        verts, faces, jnp.zeros((P, 3), jnp.float32),
+        jnp.zeros((F,), jnp.float32), jnp.zeros((B, P), jnp.float32),
+        jnp.zeros((B, F), jnp.float32), img, cam_o,
+        min_depth=pre["min_depth"], max_depth=pre["max_depth"],
+    )
+    attr_f, attr_i = _build_slot_attrs(face_f, face_i, keys, faces.shape[0])
+
+    rayd_t = _tileify(ray_d, B, height, width, gx, gy)
+    out = _run_fh_kernel(keys.starts, keys.ends, attr_f, attr_i, rayd_t,
+                         n_tiles)
+    res = _untile(out, B, height, width, gx, gy)  # [B, H, W, 4]
+    N = height * width
+    res = res.reshape(B, N, 4)
+    first_face = res[..., 0].astype(jnp.int32)
+    return first_face, res[..., 1], res[..., 2], res[..., 3]

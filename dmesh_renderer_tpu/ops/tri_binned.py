@@ -85,9 +85,11 @@ _TV, _E1, _E2, _QV = 0, 3, 6, 9
 _C0 = 12           # c0 rgb, c1 rgb, c2 rgb
 _D0 = 21           # d0 d1 d2
 _ALPHA, _INTEN = 24, 25
+_MIND, _MAXD = 26, 27  # per-face min/max depth keys (tet first-hit window)
 # int table:
 _EDGE = 0          # A1 B1 C1 A2 B2 C2 A3 B3 C3
 _NONDEG = 9
+_FID = 10          # face id (tet first-hit output)
 
 NG_USED = 24       # gradient-record columns actually written
 
@@ -108,9 +110,12 @@ def _interpret() -> bool:
 # =============================================================================
 
 def _build_face_tables(verts, faces, verts_color, faces_opacity,
-                       verts_depth, faces_intense, img, cam_o):
+                       verts_depth, faces_intense, img, cam_o,
+                       min_depth=None, max_depth=None):
     """Per-(view, face) attr tables at [B*F, NA] -- built at face scale
-    (cheap), then expanded to slots with a single row gather each."""
+    (cheap), then expanded to slots with a single row gather each.
+
+    min_depth/max_depth: optional [B, F] depth-window keys (tet first-hit)."""
     B = cam_o.shape[0]
     F = faces.shape[0]
     p0 = verts[faces[:, 0]]  # [F, 3]
@@ -134,9 +139,11 @@ def _build_face_tables(verts, faces, verts_color, faces_opacity,
             d,
             jnp.broadcast_to(faces_opacity[None, :, None], (B, F, 1)),
             faces_intense[..., None],
-        ],
+        ]
+        + ([min_depth[..., None], max_depth[..., None]]
+           if min_depth is not None else []),
         axis=-1,
-    )  # [B, F, 26] in _TV.._INTEN column order
+    )  # [B, F, 26 or 28] in _TV.._MAXD column order
 
     # Fixed-point coverage edge coefficients (auxiliary.h:179-243).
     im = img[:, faces, :]  # [B, F, 3, 2]
@@ -162,10 +169,11 @@ def _build_face_tables(verts, faces, verts_color, faces_opacity,
     A2, B2, C2 = edge(x2s, y2s, x3s, y3s)
     A3, B3, C3 = edge(x3s, y3s, x1, y1)
 
+    fid = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None], (B, F))
     icols = jnp.stack(
         [A1, B1, C1, A2, B2, C2, A3, B3, C3,
-         (area != 0).astype(jnp.int32)], axis=-1
-    )  # [B, F, 10]
+         (area != 0).astype(jnp.int32), fid], axis=-1
+    )  # [B, F, 11] (_EDGE.._FID)
 
     nf = fcols.shape[-1]
     ni = icols.shape[-1]
