@@ -59,20 +59,24 @@ def _fh_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
     dz = rayd_ref[0, 2]
     shape = dx.shape
 
+    # Derive the zero from loaded data: splat-constant loop-carry inits make
+    # Mosaic's layout inference pick a replicated layout for the loop block
+    # argument, which the (computed) loop-back value cannot relayout into.
+    zero = dx * 0.0
     init = (
         jnp.int32(0),
-        jnp.zeros(shape, jnp.int32),          # done
-        jnp.full(shape, _BIG, jnp.float32),   # best t
-        jnp.zeros(shape, jnp.float32),        # best hit's max depth
-        jnp.full(shape, -1.0, jnp.float32),   # first face (float; ids < 2^24)
-        jnp.zeros(shape, jnp.float32),        # u at hit
-        jnp.zeros(shape, jnp.float32),        # v at hit
+        zero,                                 # done (f32 mask)
+        zero + _BIG,                          # best t
+        zero,                                 # best hit's max depth
+        zero - 1.0,                           # first face (float; ids < 2^24)
+        zero,                                 # u at hit
+        zero,                                 # v at hit
     )
     n_slabs = pl.cdiv(n, SLAB)
 
     def cond(c):
         s, done = c[0], c[1]
-        return (s < n_slabs) & jnp.logical_not(jnp.all(done > 0))
+        return (s < n_slabs) & jnp.logical_not(jnp.all(done > 0.5))
 
     def body(c):
         s, done, bt, bmax, bface, bu, bv = c
@@ -99,7 +103,8 @@ def _fh_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
             fid = islab[j, _FID].astype(jnp.float32)
 
             # depth-window early-out (forward.cu:388-391)
-            done = jnp.where((bt < _BIG) & (min_d > bmax), 1, done)
+            done = jnp.where((bt < _BIG) & (min_d > bmax),
+                             jnp.ones_like(done), done)
 
             # strict Moller-Trumbore (cuda_renderer/auxiliary.h:270-295);
             # no 2D coverage test here -- list membership (culling) plus the
@@ -116,7 +121,7 @@ def _fh_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
             hit = (nd & (tt >= 0.0) & (u >= 0.0) & (v >= 0.0)
                    & (u + v <= 1.0))
 
-            better = hit & (done == 0) & (tt < bt)
+            better = hit & (done < 0.5) & (tt < bt)
             bt = jnp.where(better, tt, bt)
             bmax = jnp.where(better, max_d, bmax)
             bface = jnp.where(better, fid, bface)
