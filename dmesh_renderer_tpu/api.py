@@ -65,24 +65,28 @@ def render_tri(
     [-1, 1] semantics follow the reference (vert depths are user-provided).
     """
     from .ops.tri import render_tri_auto
+    from .validation import check_tri_inputs
 
     mv_t = _as_jax(mv_mats, jnp.float32)
     proj_t = _as_jax(proj_mats, jnp.float32)
     inv_mv_t = jnp.linalg.inv(mv_t)
     inv_proj_t = jnp.linalg.inv(proj_t)
 
-    return render_tri_auto(
+    args = (
         _as_jax(verts, jnp.float32),
         _as_jax(faces, jnp.int32),
         _as_jax(verts_color, jnp.float32),
         _as_jax(faces_opacity, jnp.float32),
         mv_t,
         proj_t,
-        inv_mv_t,
-        inv_proj_t,
         _as_jax(verts_depth, jnp.float32),
         _as_jax(faces_intense, jnp.float32),
         _as_jax(render_settings.bg, jnp.float32),
+    )
+    check_tri_inputs(*args)
+    return render_tri_auto(
+        args[0], args[1], args[2], args[3], mv_t, proj_t,
+        inv_mv_t, inv_proj_t, args[6], args[7], args[8],
         int(render_settings.image_height),
         int(render_settings.image_width),
     )
@@ -152,26 +156,33 @@ def render_tet(
     (__init__.py:448-450).
     """
     from .ops.tet import render_tet_core
+    from .validation import check_tet_inputs
 
     mv_t = _as_jax(mv_mats, jnp.float32)
     proj_t = _as_jax(proj_mats, jnp.float32)
     inv_mv_t = jnp.linalg.inv(mv_t)
     inv_proj_t = jnp.linalg.inv(proj_t)
 
+    a = dict(
+        verts=_as_jax(verts, jnp.float32),
+        faces=_as_jax(faces, jnp.int32),
+        verts_color=_as_jax(verts_color, jnp.float32),
+        faces_opacity=_as_jax(faces_opacity, jnp.float32),
+        faces_intense=_as_jax(faces_intense, jnp.float32),
+        tets=_as_jax(tets, jnp.int32),
+        face_tets=_as_jax(face_tets, jnp.int32),
+        tet_faces=_as_jax(tet_faces, jnp.int32),
+        bg=_as_jax(render_settings.bg, jnp.float32),
+    )
+    check_tet_inputs(
+        a["verts"], a["faces"], a["verts_color"], a["faces_opacity"],
+        mv_t, proj_t, a["faces_intense"], a["tets"], a["face_tets"],
+        a["tet_faces"], a["bg"],
+    )
     color, depth, active = render_tet_core(
-        _as_jax(verts, jnp.float32),
-        _as_jax(faces, jnp.int32),
-        _as_jax(verts_color, jnp.float32),
-        _as_jax(faces_opacity, jnp.float32),
-        mv_t,
-        proj_t,
-        inv_mv_t,
-        inv_proj_t,
-        _as_jax(faces_intense, jnp.float32),
-        _as_jax(tets, jnp.int32),
-        _as_jax(face_tets, jnp.int32),
-        _as_jax(tet_faces, jnp.int32),
-        _as_jax(render_settings.bg, jnp.float32),
+        a["verts"], a["faces"], a["verts_color"], a["faces_opacity"],
+        mv_t, proj_t, inv_mv_t, inv_proj_t, a["faces_intense"],
+        a["tets"], a["face_tets"], a["tet_faces"], a["bg"],
         int(render_settings.image_height),
         int(render_settings.image_width),
         int(render_settings.ray_random_seed),
