@@ -168,7 +168,58 @@ def _outward_normal_of(verts, faces, tets, face_idx, tet_idx):
                                center)
 
 
-def _step_through_tet(verts, faces, tets, tet_faces, face_tets,
+def _march_tables(verts, faces, tets, tet_faces, verts_color):
+    """Precomputed march-time tables.
+
+    The per-step connectivity walk needs face geometry, orientation, and
+    shading; gathering nested verts[faces[...]] plus tet centroids every step
+    dominates the march. Instead:
+
+      geo  [F, 12]  p0, e1, e2, unit normal n-hat (norm clamped at 1e-4,
+                    cuda_renderer/auxiliary.h:366-369)
+      sign [T, 4]   +1/-1 per (tet, face-slot): outward normal w.r.t. the
+                    tet = sign * n-hat (the centroid flip test of
+                    tet_face_outward_normal, auxiliary.h:371-394, evaluated
+                    once per (tet, slot) instead of per pixel per step)
+      col9 [F, 9]   the 3 vertex colors of each face
+    """
+    p0 = verts[faces[:, 0]]
+    p1 = verts[faces[:, 1]]
+    p2 = verts[faces[:, 2]]
+    e1 = p1 - p0
+    e2 = p2 - p0
+    n = jnp.cross(e1, e2)
+    norm = jnp.maximum(jnp.sqrt(jnp.sum(n * n, axis=-1)), 1e-4)
+    nhat = n / norm[..., None]
+    geo = jnp.concatenate([p0, e1, e2, nhat], axis=1)  # [F, 12]
+
+    tf = jnp.maximum(tet_faces, 0)  # [T, 4]
+    centers = jnp.mean(verts[tets], axis=1)  # [T, 3]
+    flip = jnp.sum(
+        nhat[tf] * (centers[:, None, :] - p0[tf]), axis=-1
+    ) > 0.0
+    sign = jnp.where(flip, -1.0, 1.0).astype(jnp.float32)  # [T, 4]
+
+    col9 = verts_color[faces].reshape(faces.shape[0], 9)
+    return {"geo": geo, "sign": sign, "col9": col9}
+
+
+def _mt_from_edges(ray_o, ray_d, p0, e1, e2):
+    """Moller-Trumbore on precomputed edges (identical arithmetic to
+    geometry.ray_tri_intersection, which derives e1/e2 the same way)."""
+    tvec = ray_o - p0
+    pv = jnp.cross(ray_d, e2)
+    qv = jnp.cross(tvec, e1)
+    denom = jnp.sum(pv * e1, axis=-1)
+    nd = denom != 0.0
+    inv = 1.0 / jnp.where(nd, denom, jnp.ones_like(denom))
+    t = jnp.sum(qv * e2, axis=-1) * inv
+    u = jnp.sum(pv * tvec, axis=-1) * inv
+    v = jnp.sum(qv * ray_d, axis=-1) * inv
+    return jnp.stack([t, u, v], axis=-1), nd
+
+
+def _step_through_tet(march, tet_faces, face_tets,
                       curr_face, curr_tet, ray_o, ray_d, direction):
     """One connectivity step of the march (shared by fwd and bwd).
 
@@ -181,29 +232,30 @@ def _step_through_tet(verts, faces, tets, tet_faces, face_tets,
     """
     ct = jnp.maximum(curr_tet, 0)
     tf = tet_faces[ct]  # [B, N, 4]
-    other = tf != curr_face[..., None]
+    is_entry = tf == curr_face[..., None]
+    other = ~is_entry
     cnt = jnp.sum(other.astype(jnp.int32), axis=-1)
     err1 = cnt != 3  # error case 1 (forward.cu:687-691)
 
-    # entry-face normal orientation check (error case 2, forward.cu:704-717)
-    n_entry = _outward_normal_of(verts, faces, tets, curr_face, curr_tet)
-    d_entry = jnp.sum(n_entry * ray_d, axis=-1)
+    fj = jnp.maximum(tf, 0)  # [B, N, 4]
+    geo_j = march["geo"][fj]  # [B, N, 4, 12]
+    p0j = geo_j[..., 0:3]
+    e1j = geo_j[..., 3:6]
+    e2j = geo_j[..., 6:9]
+    nhat_j = geo_j[..., 9:12]
+    sign_j = march["sign"][ct]  # [B, N, 4]
+    outdot_j = sign_j * jnp.sum(nhat_j * ray_d[..., None, :], axis=-1)
+
+    # entry-face normal orientation check (error case 2, forward.cu:704-717):
+    # the entry face's outward dot is extracted from its slot in this tet
+    d_entry = jnp.sum(jnp.where(is_entry, outdot_j, 0.0), axis=-1)
     err2 = jnp.where(direction > 0, d_entry >= 0.0, d_entry <= 0.0)
 
-    # candidate faces
-    fj = jnp.maximum(tf, 0)  # [B, N, 4]
-    pj = verts[faces[fj]]  # [B, N, 4, 3, 3]
-    tuv, nd = ray_tri_intersection(
-        ray_o[..., None, :], ray_d[..., None, :],
-        pj[..., 0, :], pj[..., 1, :], pj[..., 2, :],
+    tuv, nd = _mt_from_edges(
+        ray_o[..., None, :], ray_d[..., None, :], p0j, e1j, e2j
     )  # [B, N, 4, 3]
     hit = strict_hit(tuv, nd)
-    n_j = _outward_normal_of(
-        verts, faces, tets,
-        tf, curr_tet[..., None],
-    )  # [B, N, 4, 3]
-    dot_j = jnp.sum(n_j * ray_d[..., None, :], axis=-1)
-    dir_ok = jnp.where(direction > 0, dot_j > 0.0, dot_j < 0.0)
+    dir_ok = jnp.where(direction > 0, outdot_j > 0.0, outdot_j < 0.0)
     exit_j = other & hit & dir_ok  # [B, N, 4]
 
     n_exit = jnp.sum(exit_j.astype(jnp.int32), axis=-1)
@@ -235,12 +287,12 @@ def _step_through_tet(verts, faces, tets, tet_faces, face_tets,
     return err, next_face, next_tet, next_t, next_u, next_v
 
 
-def _march_state_gather(verts_color, faces, faces_opacity, faces_intense,
+def _march_state_gather(march, faces, faces_opacity, faces_intense,
                         curr_face):
     """Per-pixel face attribute gathers for the current face."""
     f = jnp.maximum(curr_face, 0)
     fv = faces[f]  # [B, N, 3]
-    c = verts_color[fv]  # [B, N, 3, 3]
+    c = march["col9"][f].reshape(f.shape + (3, 3))  # [B, N, 3, 3]
     alpha = faces_opacity[f]  # [B, N]
     B = curr_face.shape[0]
     b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
@@ -303,15 +355,25 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
             verts, faces, pre["valid"], order, ray_o, ray_d
         )
 
+    march = _march_tables(verts, faces, tets, tet_faces, verts_color)
+
     # starting tet: the side whose outward first-face normal opposes the ray
     # (forward.cu:420-444; when both qualify the second entry wins)
     ff_safe = jnp.maximum(first_face, 0)
+    ndot_ff = jnp.sum(
+        march["geo"][ff_safe][..., 9:12] * ray_d, axis=-1
+    )  # n-hat . d for the first face
     ft = face_tets[ff_safe]  # [B, N, 2]
     first_tet = jnp.full_like(first_face, -1)
     for i in range(2):
         cand = ft[..., i]
-        n = _outward_normal_of(verts, faces, tets, first_face, cand)
-        opposes = jnp.sum(n * ray_d, axis=-1) < 0.0
+        tf_c = tet_faces[jnp.maximum(cand, 0)]  # [B, N, 4]
+        match = tf_c == first_face[..., None]
+        sgn = jnp.sum(
+            jnp.where(match, march["sign"][jnp.maximum(cand, 0)], 0.0),
+            axis=-1,
+        )
+        opposes = sgn * ndot_ff < 0.0
         take = (cand >= 0) & opposes & (first_face >= 0)
         first_tet = jnp.where(take, cand, first_tet)
 
@@ -344,7 +406,7 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
 
         # --- 1. blend current face (forward.cu:597-653) ---
         fv, c3, alpha, inten = _march_state_gather(
-            verts_color, faces, faces_opacity, faces_intense, cf
+            march, faces, faces_opacity, faces_intense, cf
         )
         col = (
             c3[..., 0, :]
@@ -382,8 +444,7 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         # --- 3. walk to the next face (forward.cu:672-775) ---
         walk = alive & ~newly_done
         err, nf, nt, t2, u2, v2 = _step_through_tet(
-            verts, faces, tets, tet_faces, face_tets, cf, ct,
-            ray_o, ray_d, +1,
+            march, tet_faces, face_tets, cf, ct, ray_o, ray_d, +1,
         )
         newly_done = newly_done | (walk & err)
         advance = walk & ~err
@@ -448,6 +509,8 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
     F = faces.shape[0]
     N = height * width
 
+    march = _march_tables(verts, faces, tets, tet_faces, verts_color)
+
     ray_o, ray_d = generate_rays(
         inv_mv_t, inv_proj_t, width, height, norm_eps_mode="tet",
         jitter_seed=seed if seed > 0 else None,
@@ -509,7 +572,7 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
         cf, ct = s["curr_face"], s["curr_tet"]
 
         fv, c3, alpha, inten = _march_state_gather(
-            verts_color, faces, faces_opacity, faces_intense, cf
+            march, faces, faces_opacity, faces_intense, cf
         )
         i1 = s["curr_u"]
         i2 = s["curr_v"]
@@ -583,8 +646,7 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
         newly_done = newly_done | no_tet
         walk = alive & ~newly_done
         err, nf, nt, t2, u2, v2 = _step_through_tet(
-            verts, faces, tets, tet_faces, face_tets, cf, ct,
-            ray_o, ray_d, -1,
+            march, tet_faces, face_tets, cf, ct, ray_o, ray_d, -1,
         )
         newly_done = newly_done | (walk & err)
         advance = walk & ~err
