@@ -42,7 +42,6 @@ from jax import lax
 from ..utils.config import DEFAULT_MAX_MARCH_STEPS, T_EPS, TILE_X, TILE_Y
 from .geometry import (
     clamp_w,
-    face_outward_normal,
     preprocess_faces,
     project_verts,
     ray_tri_intersection,
@@ -152,21 +151,6 @@ def _first_intersection(verts, faces, valid, order, ray_o, ray_d):
 # =============================================================================
 # Connectivity helpers
 # =============================================================================
-
-def _outward_normal_of(verts, faces, tets, face_idx, tet_idx):
-    """Outward normal of face_idx w.r.t. tet_idx, batched over [B, N].
-
-    Indices may be invalid (-1) on masked lanes; they are clamped and the
-    caller must mask the result.
-    """
-    f = jnp.maximum(face_idx, 0)
-    t = jnp.maximum(tet_idx, 0)
-    fp = verts[faces[f]]  # [..., 3, 3]
-    tv = verts[tets[t]]  # [..., 4, 3]
-    center = jnp.mean(tv, axis=-2)
-    return face_outward_normal(fp[..., 0, :], fp[..., 1, :], fp[..., 2, :],
-                               center)
-
 
 def _march_tables(verts, faces, tets, tet_faces, verts_color):
     """Precomputed march-time tables.

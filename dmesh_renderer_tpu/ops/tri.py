@@ -8,7 +8,6 @@ compositing) mirroring rasterizer_impl.cu:175-383.
 
 from __future__ import annotations
 
-import jax
 
 from .tri_oracle import render_tri_oracle
 
