@@ -13,6 +13,13 @@ view-sharded inputs (the collective analog of the atomicAdd-across-views).
 
 Per-view parameters (verts_depth [B,P], faces_intense [B,F]) keep their
 sharded layout end to end -- no communication at all.
+
+Note: the dense (oracle) tri path partitions cleanly under pjit because every
+op carries the B axis. The tile-binned path flattens (view, tile) into one
+key table; for multi-chip runs at binned scale, wrap the render in
+`shard_map` over the views axis so each device bins its own views (planned
+as the default dispatch in a future round -- current tests exercise the
+dense path under pjit).
 """
 
 from __future__ import annotations
