@@ -837,7 +837,9 @@ def _b_bwd(height, width, kcap, res, cots):
     slot = jnp.arange(cap, dtype=jnp.int32)
     tile_of = keys.tile
     keep = keys.live & ((slot - keys.starts[tile_of]) < used_len[tile_of])
-    rec = jnp.where(keep[:, None], rec, 0.0)
+    # slice to the used columns before masking: avoids materializing the
+    # full 128-wide masked table
+    rec = jnp.where(keep[:, None], rec[:, :NG_USED], 0.0)
 
     f = keys.face
     b = keys.batch
