@@ -41,10 +41,17 @@ def _as_jax(x: Any, dtype=None) -> Array:
 # =============================================================================
 
 class TriRenderSettings(NamedTuple):
-    """Reference: dmesh_renderer/__init__.py:13-16."""
+    """Reference: dmesh_renderer/__init__.py:13-16.
+
+    ``key_capacity`` is a TPU-specific extension (defaulted, so reference
+    call sites work unchanged): the static (face, tile) key budget of the
+    binned path; None picks a shape-derived heuristic. See
+    ops/binning.default_key_capacity.
+    """
     image_height: int
     image_width: int
     bg: Any  # [3] background color
+    key_capacity: Any = None
 
 
 def render_tri(
@@ -84,11 +91,13 @@ def render_tri(
         _as_jax(render_settings.bg, jnp.float32),
     )
     check_tri_inputs(*args)
+    kcap = getattr(render_settings, "key_capacity", None)
     return render_tri_auto(
         args[0], args[1], args[2], args[3], mv_t, proj_t,
         inv_mv_t, inv_proj_t, args[6], args[7], args[8],
         int(render_settings.image_height),
         int(render_settings.image_width),
+        kcap=None if kcap is None else int(kcap),
     )
 
 

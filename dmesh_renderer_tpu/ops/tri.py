@@ -18,10 +18,12 @@ BINNED_THRESHOLD = 4096
 
 def render_tri_auto(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
                     inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg,
-                    height, width, *, force: str | None = None):
+                    height, width, *, force: str | None = None,
+                    kcap: int | None = None):
     """Render triangles; strategy is chosen statically from shapes.
 
     force: "oracle" or "binned" to override the heuristic (for tests).
+    kcap: static key capacity for the binned path (None = heuristic).
     """
     n_faces = faces.shape[0]
     strategy = force or ("binned" if n_faces > BINNED_THRESHOLD else "oracle")
@@ -32,7 +34,7 @@ def render_tri_auto(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
         return render_tri_binned(
             verts, faces, verts_color, faces_opacity, mv_t, proj_t,
             inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg,
-            height, width,
+            height, width, kcap,
         )
 
     return render_tri_oracle(
