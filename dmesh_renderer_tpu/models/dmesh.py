@@ -108,3 +108,38 @@ def make_train_step(optimizer: optax.GradientTransformation, faces: Array,
 def init_train_state(scene: TriScene,
                      optimizer: optax.GradientTransformation) -> TrainState:
     return TrainState(scene, None, optimizer.init(scene))
+
+
+def make_train_loop(optimizer: optax.GradientTransformation, faces: Array,
+                    bg: Array, height: int, width: int, n_steps: int,
+                    mesh=None):
+    """A jitted multi-step loop: ``lax.scan`` over train steps.
+
+    Keeps the whole optimization on device -- no per-step host dispatch
+    (which costs ~30 ms/step on remote-attached TPUs). Returns
+    ``loop(state, batch) -> (state, losses[n_steps])``.
+    """
+    loss_fn = make_loss_fn(faces, bg, height, width)
+
+    def loop(state: TrainState, batch: ViewBatch):
+        def step(state, _):
+            loss, grads = jax.value_and_grad(loss_fn)(state.scene, batch)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.scene)
+            scene = optax.apply_updates(state.scene, updates)
+            return TrainState(scene, state.view_params, opt_state), loss
+
+        return jax.lax.scan(step, state, None, length=n_steps)
+
+    if mesh is None:
+        return jax.jit(loop)
+
+    rep = replicated(mesh)
+    vs = view_sharding(mesh)
+    state_sh = TrainState(TriScene(rep, rep, rep), None, rep)
+    batch_sh = ViewBatch(*([vs] * 7))
+    return jax.jit(
+        loop,
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, rep),
+    )

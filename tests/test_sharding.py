@@ -80,3 +80,19 @@ def test_training_reduces_loss(setup):
     for _ in range(10):
         st, loss = step(st, batch)
     assert float(loss) < float(loss0)
+
+
+def test_train_loop_scan(setup):
+    from dmesh_renderer_tpu.models.dmesh import make_train_loop
+
+    soup, scene, batch = setup
+    optimizer = optax.adam(5e-2)
+    faces = jnp.asarray(soup["faces"])
+    bg = jnp.zeros(3, jnp.float32)
+    mesh = make_view_mesh(8)
+    loop = make_train_loop(optimizer, faces, bg, H, W, n_steps=5, mesh=mesh)
+    st = init_train_state(scene, optimizer)
+    st, losses = loop(st, shard_view_batch(mesh, batch))
+    losses = np.array(losses)
+    assert losses.shape == (5,)
+    assert losses[-1] < losses[0]
