@@ -38,6 +38,11 @@ class BinnedKeys(NamedTuple):
     face: Array       # [KCAP] int32 face id per sorted slot (0 for padding)
     batch: Array      # [KCAP] int32 view id per sorted slot
     tile_key: Array   # [KCAP] int32 batch*n_tiles + tile_id (BIG for padding)
+    emit: Array       # [KCAP] int32 pre-sort (emission) slot index: slots of
+                      # one (view, face) are contiguous in emission order,
+                      # which lets gradients reduce per face without
+                      # duplicate-index scatters (see tri_binned._b_bwd)
+    offsets: Array    # [B*F + 1] int32 emission offsets per (view, face)
     starts: Array     # [B * n_tiles] int32 slot range start per tile
     ends: Array       # [B * n_tiles] int32 slot range end per tile
     total: Array      # [] int32 number of real (face, tile) pairs emitted
@@ -104,18 +109,23 @@ def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
     b = bf // F
     tile_key = jnp.where(in_range, b * n_tiles + tile_id, big)
 
-    tile_key_s, _d, bf_s = lax.sort(
-        (tile_key, dkey, bf), num_keys=2, is_stable=True
+    tile_key_s, _d, bf_s, emit_s = lax.sort(
+        (tile_key, dkey, bf, slots), num_keys=2, is_stable=True
     )
 
     tids = jnp.arange(B * n_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(tile_key_s, tids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(tile_key_s, tids, side="right").astype(jnp.int32)
 
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.minimum(incl, kcap).astype(jnp.int32)]
+    )
     return BinnedKeys(
         face=(bf_s % F).astype(jnp.int32),
         batch=(bf_s // F).astype(jnp.int32),
         tile_key=tile_key_s,
+        emit=emit_s.astype(jnp.int32),
+        offsets=offsets,
         starts=starts,
         ends=ends,
         total=total,
@@ -138,6 +148,8 @@ class AlignedKeys(NamedTuple):
     batch: Array      # [cap] int32
     live: Array       # [cap] bool -- real entry (not alignment padding)
     tile: Array       # [cap] int32 owning tile (valid where live)
+    emit: Array       # [cap] int32 emission index (valid where live)
+    offsets: Array    # [B*F + 1] int32 emission offsets per (view, face)
     starts: Array     # [B * n_tiles] int32 (each a multiple of slab)
     ends: Array       # [B * n_tiles] int32
     total: Array      # [] int32 real pairs emitted (pre-padding)
@@ -172,9 +184,11 @@ def align_to_slabs(keys: BinnedKeys, n_tiles_total: int, slab: int,
     batch = jnp.zeros((cap,), jnp.int32).at[pos].set(keys.batch, mode="drop")
     live = jnp.zeros((cap,), jnp.bool_).at[pos].set(real, mode="drop")
     tile = jnp.zeros((cap,), jnp.int32).at[pos].set(tk_safe, mode="drop")
+    emit = jnp.zeros((cap,), jnp.int32).at[pos].set(keys.emit, mode="drop")
 
     return AlignedKeys(
-        face=face, batch=batch, live=live, tile=tile,
+        face=face, batch=batch, live=live, tile=tile, emit=emit,
+        offsets=keys.offsets,
         starts=new_starts, ends=new_ends,
         total=keys.total, overflow=keys.overflow,
     )

@@ -841,22 +841,42 @@ def _b_bwd(height, width, kcap, res, cots):
     # full 128-wide masked table
     rec = jnp.where(keep[:, None], rec[:, :NG_USED], 0.0)
 
-    f = keys.face
-    b = keys.batch
-    fv = faces[f]  # [K, 3]
-    inten = faces_intense[b, f]
+    # Reduce per-slot records to per-(view, face) gradients WITHOUT
+    # duplicate-index scatters (TPU scatters serialize on collisions, which
+    # dominated the backward): route each record to its pre-sort *emission*
+    # slot (unique-index scatter -- collision-free), where one face's slots
+    # are contiguous; then per-face sums are prefix-sum differences at the
+    # emission offsets.
+    kcap_n = rec.shape[0]
+    emit_pos = jnp.where(keep, keys.emit, kcap_n)
+    rec_emit = jnp.zeros((kcap_n, NG_USED), jnp.float32).at[emit_pos].set(
+        rec, mode="drop", unique_indices=True,
+    )
+    csum = jnp.concatenate(
+        [jnp.zeros((1, NG_USED), jnp.float32),
+         jnp.cumsum(rec_emit, axis=0)], axis=0,
+    )
+    off = jnp.minimum(keys.offsets, kcap_n)
+    face_g = (csum[off[1:]] - csum[off[:-1]]).reshape(B, F, NG_USED)
 
-    g_fopacity = jnp.zeros((F,), jnp.float32).at[f].add(rec[:, _G_ALPHA])
-    g_verts = jnp.zeros((P, 3), jnp.float32).at[fv].add(
-        rec[:, _G_P:_G_P + 9].reshape(-1, 3, 3)
-    )
-    g_vcolor = jnp.zeros((P, 3), jnp.float32).at[fv].add(
-        rec[:, _G_VC:_G_VC + 9].reshape(-1, 3, 3) * inten[:, None, None]
-    )
-    g_vdepth = jnp.zeros((B, P), jnp.float32).at[b[:, None], fv].add(
-        rec[:, _G_VD:_G_VD + 3]
-    )
-    g_fintense = jnp.zeros((B, F), jnp.float32).at[b, f].add(rec[:, _G_IN])
+    inten_bf = faces_intense  # [B, F]
+
+    g_fopacity = jnp.sum(face_g[..., _G_ALPHA], axis=0)  # [F]
+    g_fintense = face_g[..., _G_IN]  # [B, F], no reduction needed
+
+    gp = jnp.sum(face_g[..., _G_P:_G_P + 9], axis=0).reshape(F, 3, 3)
+    g_verts = jnp.zeros((P, 3), jnp.float32).at[faces].add(gp)
+
+    gvc = jnp.sum(
+        face_g[..., _G_VC:_G_VC + 9] * inten_bf[..., None], axis=0
+    ).reshape(F, 3, 3)
+    g_vcolor = jnp.zeros((P, 3), jnp.float32).at[faces].add(gvc)
+
+    gvd = face_g[..., _G_VD:_G_VD + 3]  # [B, F, 3]
+    b_idx = jnp.arange(B, dtype=jnp.int32)
+    g_vdepth = jnp.zeros((B, P), jnp.float32).at[
+        b_idx[:, None, None], faces[None]
+    ].add(gvd)
 
     def zi(x):
         return np.zeros(x.shape, jax.dtypes.float0)
