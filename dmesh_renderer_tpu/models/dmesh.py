@@ -56,42 +56,90 @@ class TrainState(NamedTuple):
 
 
 def render_views(scene: TriScene, faces: Array, batch: ViewBatch, bg: Array,
-                 height: int, width: int):
+                 height: int, width: int, force: str | None = None,
+                 kcap: int | None = None):
     return render_tri_auto(
         scene.verts, faces, scene.verts_color, scene.faces_opacity,
         batch.mv_t, batch.proj_t, batch.inv_mv_t, batch.inv_proj_t,
         batch.verts_depth, batch.faces_intense, bg, height, width,
+        force=force, kcap=kcap,
     )
 
 
-def make_loss_fn(faces: Array, bg: Array, height: int, width: int):
+def make_loss_fn(faces: Array, bg: Array, height: int, width: int,
+                 force: str | None = None, kcap: int | None = None):
     def loss_fn(scene: TriScene, batch: ViewBatch):
-        color, _depth = render_views(scene, faces, batch, bg, height, width)
+        color, _depth = render_views(scene, faces, batch, bg, height, width,
+                                     force=force, kcap=kcap)
         return jnp.mean((color - batch.target) ** 2)
     return loss_fn
 
 
+def _make_sharded_value_and_grad(loss_fn, mesh):
+    """Per-device loss+grads over view shards, combined with collectives.
+
+    The render (including the tile-binned sort/Pallas pipeline, which pjit
+    cannot partition across its flattened (view, tile) key table) runs
+    independently per device on that device's views under ``shard_map``;
+    the cross-view reduction of view-shared parameter gradients is an
+    explicit ``pmean`` over the views axis -- the ICI collective analog of
+    the reference's atomicAdd-across-views (backward.cu:389-418).
+    """
+    from jax import lax
+
+    def local_vg(scene: TriScene, batch: ViewBatch):
+        loss, grads = jax.value_and_grad(loss_fn)(scene, batch)
+        # global loss = mean over all views = pmean of per-shard means
+        # (equal shard sizes), so global grads = pmean of per-shard grads.
+        loss = lax.pmean(loss, VIEW_AXIS)
+        grads = jax.tree.map(lambda g: lax.pmean(g, VIEW_AXIS), grads)
+        return loss, grads
+
+    from jax.sharding import PartitionSpec as P
+
+    return jax.shard_map(
+        local_vg,
+        mesh=mesh,
+        in_specs=(P(), P(VIEW_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,  # custom_vjp residuals are unannotated
+    )
+
+
 def make_train_step(optimizer: optax.GradientTransformation, faces: Array,
-                    bg: Array, height: int, width: int, mesh=None):
+                    bg: Array, height: int, width: int, mesh=None,
+                    force: str | None = None, kcap: int | None = None):
     """Build a jitted train step.
 
     With ``mesh``: scene params are replicated, the view batch is sharded on
-    the ``views`` axis, and the shared-parameter gradient all-reduce is
-    inserted by XLA (the TPU equivalent of the reference's
-    atomicAdd-across-views, backward.cu:389-418).
+    the ``views`` axis, and each device renders its own views under
+    ``shard_map`` (works for BOTH the dense and tile-binned paths); the
+    shared-parameter gradient reduction is a ``pmean`` collective (the TPU
+    equivalent of the reference's atomicAdd-across-views,
+    backward.cu:389-418).
     """
-    loss_fn = make_loss_fn(faces, bg, height, width)
+    loss_fn = make_loss_fn(faces, bg, height, width, force=force, kcap=kcap)
+
+    if mesh is None:
+        def step(state: TrainState, batch: ViewBatch):
+            loss, grads = jax.value_and_grad(loss_fn)(state.scene, batch)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.scene
+            )
+            scene = optax.apply_updates(state.scene, updates)
+            return TrainState(scene, state.view_params, opt_state), loss
+
+        return jax.jit(step)
+
+    sharded_vg = _make_sharded_value_and_grad(loss_fn, mesh)
 
     def step(state: TrainState, batch: ViewBatch):
-        loss, grads = jax.value_and_grad(loss_fn)(state.scene, batch)
+        loss, grads = sharded_vg(state.scene, batch)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.scene
         )
         scene = optax.apply_updates(state.scene, updates)
         return TrainState(scene, state.view_params, opt_state), loss
-
-    if mesh is None:
-        return jax.jit(step)
 
     rep = replicated(mesh)
     vs = view_sharding(mesh)
@@ -112,18 +160,24 @@ def init_train_state(scene: TriScene,
 
 def make_train_loop(optimizer: optax.GradientTransformation, faces: Array,
                     bg: Array, height: int, width: int, n_steps: int,
-                    mesh=None):
+                    mesh=None, force: str | None = None,
+                    kcap: int | None = None):
     """A jitted multi-step loop: ``lax.scan`` over train steps.
 
     Keeps the whole optimization on device -- no per-step host dispatch
     (which costs ~30 ms/step on remote-attached TPUs). Returns
     ``loop(state, batch) -> (state, losses[n_steps])``.
     """
-    loss_fn = make_loss_fn(faces, bg, height, width)
+    loss_fn = make_loss_fn(faces, bg, height, width, force=force, kcap=kcap)
+
+    if mesh is None:
+        vg = jax.value_and_grad(loss_fn)
+    else:
+        vg = _make_sharded_value_and_grad(loss_fn, mesh)
 
     def loop(state: TrainState, batch: ViewBatch):
         def step(state, _):
-            loss, grads = jax.value_and_grad(loss_fn)(state.scene, batch)
+            loss, grads = vg(state.scene, batch)
             updates, opt_state = optimizer.update(grads, state.opt_state,
                                                   state.scene)
             scene = optax.apply_updates(state.scene, updates)
