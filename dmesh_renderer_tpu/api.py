@@ -64,12 +64,20 @@ def render_tri(
     verts_depth: Array,
     faces_intense: Array,
     render_settings: TriRenderSettings,
+    return_aux: bool = False,
 ):
     """Functional tri renderer (reference: dmesh_renderer/__init__.py:18-43).
 
     Expects matrices already transposed (as `_RenderTri` receives them from
     `TriRenderer`). Returns (color [B,3,H,W], depth [B,1,H,W]); depth range
     [-1, 1] semantics follow the reference (vert depths are user-provided).
+
+    ``return_aux=True`` (TPU extension; defaulted, so reference call sites
+    work unchanged) additionally returns ``(overflow, num_rendered)``: the
+    binned path's static-key-capacity overflow flag and emitted pair count.
+    The CUDA reference sizes its binning buffer exactly
+    (rasterizer_impl.cu:287-299) and can never drop geometry; the static
+    capacity here can, so the flag must be observable under jit.
     """
     from .ops.tri import render_tri_auto
     from .validation import check_tri_inputs
@@ -98,6 +106,7 @@ def render_tri(
         int(render_settings.image_height),
         int(render_settings.image_width),
         kcap=None if kcap is None else int(kcap),
+        with_aux=return_aux,
     )
 
 

@@ -24,11 +24,15 @@ BINNED_THRESHOLD_CPU = 4096
 def render_tri_auto(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
                     inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg,
                     height, width, *, force: str | None = None,
-                    kcap: int | None = None):
+                    kcap: int | None = None, with_aux: bool = False):
     """Render triangles; strategy is chosen statically from shapes.
 
     force: "oracle" or "binned" to override the heuristic (for tests).
     kcap: static key capacity for the binned path (None = heuristic).
+    with_aux: also return ``(overflow bool[], num_rendered int32[])`` --
+        the key-capacity overflow flag and emitted (face, tile) pair count
+        of the binned path (the oracle path has no capacity: aux is
+        ``(False, -1)``).
     """
     n_faces = faces.shape[0]
     threshold = (BINNED_THRESHOLD_CPU if jax.default_backend() == "cpu"
@@ -41,10 +45,16 @@ def render_tri_auto(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
         return render_tri_binned(
             verts, faces, verts_color, faces_opacity, mv_t, proj_t,
             inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg,
-            height, width, kcap,
+            height, width, kcap, with_aux,
         )
 
-    return render_tri_oracle(
+    out = render_tri_oracle(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t,
         inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg, height, width,
     )
+    if with_aux:
+        import jax.numpy as jnp
+
+        color, depth = out
+        return color, depth, (jnp.asarray(False), jnp.asarray(-1, jnp.int32))
+    return out

@@ -759,49 +759,89 @@ def _render_binned_impl(verts, faces, verts_color, faces_opacity, mv_t,
 # custom_vjp wrapper
 # =============================================================================
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def _overflow_warning(keys: AlignedKeys, kcap: int) -> None:
+    """Runtime overflow warning (non-silent drops, rasterizer_impl.cu:287-299
+    never drops -- it resizes exactly).
+
+    Emitted through jax.debug.print on backends that support host callbacks;
+    the axon remote runtime does not (probed: UNIMPLEMENTED host send/recv),
+    so there the warning is skipped and callers must use ``with_aux=True`` or
+    utils.diagnostics.tri_render_stats to observe the overflow flag."""
+    if jax.default_backend() == "axon":
+        return
+
+    def warn(t):
+        jax.debug.print(
+            "dmesh_renderer_tpu WARNING: tile-binning key capacity overflow "
+            "({t} (face, tile) pairs emitted > key capacity {k}). Keys are "
+            "dropped in emission order: the highest (view, face) indices "
+            "lose their tiles. Raise TriRenderSettings.key_capacity.",
+            t=t, k=kcap)
+
+    lax.cond(keys.overflow, warn, lambda t: None, keys.total)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
 def render_tri_binned(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
                       inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg,
-                      height, width, kcap=None):
+                      height, width, kcap=None, with_aux=False):
     """Tile-binned differentiable tri renderer (scaled path).
 
     Semantics identical to render_tri_oracle; see module docstring. ``kcap``
     is the static (face, tile) key capacity; None picks a heuristic from
-    shapes. Overflow drops the farthest-sorting keys (reported via
-    binning.BinnedKeys.overflow in debug runs).
+    shapes.
+
+    Overflow policy: if more (face, tile) pairs are emitted than ``kcap``,
+    keys are dropped in EMISSION order -- emission is view-major, face-major
+    (matching duplicateWithKeys' slot numbering, rasterizer_impl.cu:69-96),
+    so the highest (view, face) indices lose their tiles first; a face
+    straddling the cut keeps the row-major head of its tile rect. Overflow
+    is surfaced (a) via ``with_aux=True`` -> extra output
+    ``(overflow bool[], num_rendered int32[])``, (b) by a jax.debug.print
+    warning on callback-capable backends, and (c) via
+    utils.diagnostics.tri_render_stats.
     """
     if kcap is None:
         kcap = default_key_capacity(mv_t.shape[0], faces.shape[0])
-    color, depth, _, _, _ = _render_binned_impl(
+    color, depth, _, keys, _ = _render_binned_impl(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
         inv_proj_t, verts_depth, faces_intense, bg, height, width, kcap,
     )
+    _overflow_warning(keys, kcap)
+    if with_aux:
+        return color, depth, (keys.overflow, keys.total)
     return color, depth
 
 
 def _b_fwd(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
            inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg,
-           height, width, kcap):
+           height, width, kcap, with_aux):
     if kcap is None:
         kcap = default_key_capacity(mv_t.shape[0], faces.shape[0])
     color, depth, fwd_state_t, keys, saved = _render_binned_impl(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
         inv_proj_t, verts_depth, faces_intense, bg, height, width, kcap,
     )
+    _overflow_warning(keys, kcap)
     # Residuals keep the slot attr tables and tiled ray/pixel data -- the
     # analog of the reference's opaque saved buffers (__init__.py:97-110) --
     # so the backward pass skips the projection/sort/gather rebuild.
     res = (verts, faces, verts_color, faces_opacity, mv_t, proj_t,
            inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg,
            fwd_state_t, keys, saved)
+    if with_aux:
+        return (color, depth, (keys.overflow, keys.total)), res
     return (color, depth), res
 
 
-def _b_bwd(height, width, kcap, res, cots):
+def _b_bwd(height, width, kcap, with_aux, res, cots):
     (verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
      inv_proj_t, verts_depth, faces_intense, bg, fwd_state_t, keys,
      saved) = res
-    dL_dcolor, dL_ddepth = cots
+    if with_aux:
+        dL_dcolor, dL_ddepth, _aux_cot = cots
+    else:
+        dL_dcolor, dL_ddepth = cots
     if kcap is None:
         kcap = default_key_capacity(mv_t.shape[0], faces.shape[0])
 
