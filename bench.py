@@ -40,7 +40,17 @@ def _build(n_tris, n_views, height, width, seed=0):
 
 
 def bench_tri_scaled(n_tris=100_000, height=800, width=800, n_views=1,
-                     iters=3, kcap=1_600_000):
+                     iters=3, kcap=1_600_000, chain=4):
+    """Fwd+bwd (all five gradients, like the reference backward always
+    computes, render.cu:166-171) ms per frame.
+
+    ``chain`` fwd+bwd steps run inside ONE jit via lax.scan, each feeding
+    the previous step's gradient into the next step's inputs (so XLA cannot
+    batch or elide them) -- this amortizes the fixed per-dispatch host
+    round-trip of the remote TPU runtime (~28 ms) the way a real training
+    loop does (models/dmesh.make_train_loop). The reported number is
+    ms per fwd+bwd frame.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -62,22 +72,27 @@ def bench_tri_scaled(n_tris=100_000, height=800, width=800, n_views=1,
         )
         return jnp.sum(c) + jnp.sum(d)
 
-    # all five gradients, like the reference backward always computes
-    # (render.cu:166-171)
-    gstep = jax.jit(lambda fo: sum(
-        jnp.sum(g) for g in jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
-            base[0], base[2], fo, base[8], base[9])
-    ))
+    grad_fn = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
 
-    float(gstep(base[3]))  # warmup / compile
+    @jax.jit
+    def gsteps(fo):
+        def body(fo, _):
+            gs = grad_fn(base[0], base[2], fo, base[8], base[9])
+            # feed the opacity gradient back in: a true sequential chain
+            fo = fo - 1e-6 * gs[2]
+            return fo, sum(jnp.sum(g) for g in gs)
+        fo, acc = jax.lax.scan(body, fo, None, length=chain)
+        return jnp.sum(acc)
+
+    float(gsteps(base[3]))  # warmup / compile
 
     times = []
     for it in range(iters):
         fo = base[3] * (1.0 - 1e-3 * (it + 1))  # vary inputs: no result reuse
         t0 = time.perf_counter()
-        float(gstep(fo))
+        float(gsteps(fo))
         times.append(time.perf_counter() - t0)
-    return min(times) * 1000.0 / n_views
+    return min(times) * 1000.0 / (n_views * chain)
 
 
 def main():

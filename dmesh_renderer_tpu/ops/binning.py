@@ -143,13 +143,15 @@ class AlignedKeys(NamedTuple):
     """Key table re-laid-out so every tile's slot range starts on a slab
     boundary (needed by the Pallas kernels: DMA windows are slab-aligned and
     never shared between tiles, which makes the backward kernel's slab
-    write-back race-free by construction)."""
-    face: Array       # [cap] int32
-    batch: Array      # [cap] int32
-    live: Array       # [cap] bool -- real entry (not alignment padding)
-    tile: Array       # [cap] int32 owning tile (valid where live)
-    emit: Array       # [cap] int32 emission index (valid where live)
-    offsets: Array    # [B*F + 1] int32 emission offsets per (view, face)
+    write-back race-free by construction).
+
+    Deliberately minimal: ``flat`` is the only slot-sized array, built by the
+    single large scatter this stage pays for. (The round-1 layout scattered
+    five slot-sized arrays -- face, batch, live, tile, emit -- costing ~30 ms
+    at 100k tris; everything the pipeline needs is derivable from ``flat`` +
+    the per-tile ranges, and the gradient reduction no longer uses emission
+    slots at all, see tri_binned._b_bwd.)"""
+    flat: Array       # [cap] int32 view*F + face per slot (0 at padding)
     starts: Array     # [B * n_tiles] int32 (each a multiple of slab)
     ends: Array       # [B * n_tiles] int32
     total: Array      # [] int32 real pairs emitted (pre-padding)
@@ -163,7 +165,7 @@ def aligned_capacity(kcap: int, n_tiles_total: int, slab: int) -> int:
 
 
 def align_to_slabs(keys: BinnedKeys, n_tiles_total: int, slab: int,
-                   cap: int) -> AlignedKeys:
+                   cap: int, n_faces: int) -> AlignedKeys:
     """Scatter the sorted key table into slab-aligned per-tile ranges."""
     counts = keys.ends - keys.starts  # [NT]
     padded = ((counts + slab - 1) // slab) * slab
@@ -177,18 +179,16 @@ def align_to_slabs(keys: BinnedKeys, n_tiles_total: int, slab: int,
     tk = keys.tile_key
     real = tk < n_tiles_total
     tk_safe = jnp.minimum(tk, n_tiles_total - 1)
-    pos = new_starts[tk_safe] + (slot - keys.starts[tk_safe])
+    # one [kcap] gather of the combined per-tile shift (not two)
+    shift = new_starts - keys.starts  # [NT]
+    pos = slot + shift[tk_safe]
     pos = jnp.where(real, pos, cap)  # drop padding slots
 
-    face = jnp.zeros((cap,), jnp.int32).at[pos].set(keys.face, mode="drop")
-    batch = jnp.zeros((cap,), jnp.int32).at[pos].set(keys.batch, mode="drop")
-    live = jnp.zeros((cap,), jnp.bool_).at[pos].set(real, mode="drop")
-    tile = jnp.zeros((cap,), jnp.int32).at[pos].set(tk_safe, mode="drop")
-    emit = jnp.zeros((cap,), jnp.int32).at[pos].set(keys.emit, mode="drop")
+    flat = jnp.zeros((cap,), jnp.int32).at[pos].set(
+        keys.batch * n_faces + keys.face, mode="drop", unique_indices=True)
 
     return AlignedKeys(
-        face=face, batch=batch, live=live, tile=tile, emit=emit,
-        offsets=keys.offsets,
+        flat=flat,
         starts=new_starts, ends=new_ends,
         total=keys.total, overflow=keys.overflow,
     )

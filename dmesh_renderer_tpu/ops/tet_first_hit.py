@@ -181,7 +181,7 @@ def first_intersection_binned(verts, faces, pre, img, cam_o, ray_d,
     cap = aligned_capacity(kcap, n_tiles, SLAB)
 
     raw = emit_and_sort(pre, gx, gy, kcap, sort_by="min_depth")
-    keys = align_to_slabs(raw, n_tiles, SLAB, cap)
+    keys = align_to_slabs(raw, n_tiles, SLAB, cap, faces.shape[0])
 
     F = faces.shape[0]
     P = verts.shape[0]
@@ -191,7 +191,7 @@ def first_intersection_binned(verts, faces, pre, img, cam_o, ray_d,
         jnp.zeros((B, F), jnp.float32), img, cam_o,
         min_depth=pre["min_depth"], max_depth=pre["max_depth"],
     )
-    attr_f, attr_i = _build_slot_attrs(face_f, face_i, keys, faces.shape[0])
+    attr_f, attr_i = _build_slot_attrs(face_f, face_i, keys)
 
     rayd_t = _tileify(ray_d, B, height, width, gx, gy)
     out = _run_fh_kernel(keys.starts, keys.ends, attr_f, attr_i, rayd_t,

@@ -74,7 +74,10 @@ TILE = 32          # pixels per tile side; 32*32 = 1024 = 8*128 VPU block
 PSUB, PLANE = 8, 128
 SLAB = 32          # faces per HBM->SMEM DMA slab (sized to scalar memory)
 NA = 128           # attr columns per slot (lane-dim, must be 128)
-NG = 128           # gradient-record columns per slot (lane-dim)
+NG = 128           # gradient-record columns per slot (24 used; Mosaic
+                   # requires 128-lane-aligned HBM DMA slices, so narrower
+                   # record rows do not lower -- and the extra DMA width is
+                   # ~1 ms of HBM bandwidth at bench scale)
 
 # Attr column layouts. Mosaic only supports dynamic indexing on the sublane
 # dim, so slots are rows and attrs are static lane columns; lane width is
@@ -182,10 +185,9 @@ def _build_face_tables(verts, faces, verts_color, faces_opacity,
     return face_f, face_i
 
 
-def _build_slot_attrs(face_f, face_i, keys: AlignedKeys, F: int):
+def _build_slot_attrs(face_f, face_i, keys: AlignedKeys):
     """Expand face tables to the slot table: one row gather each."""
-    flat = keys.batch * F + keys.face
-    return face_f[flat], face_i[flat]
+    return face_f[keys.flat], face_i[keys.flat]
 
 
 # =============================================================================
@@ -405,8 +407,12 @@ def _run_fwd_kernel(starts, ends, attr_f, attr_i, rayd_t, pix_t, n_tiles):
 # =============================================================================
 
 def _bwd_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
-                pix_ref, fwd_ref, gin_ref, grec_hbm, fslab, islab, grec,
-                semf, semi, semg):
+                pix_ref, fwd_ref, gin_ref, grec_in_hbm, grec_hbm, fslab,
+                islab, grec, semf, semi, semg):
+    # grec_in_hbm is the zero-initialized record buffer, donated to
+    # grec_hbm (input_output_aliases): slabs this kernel never visits stay
+    # exactly zero, so the XLA-side reduction needs no validity masking.
+    del grec_in_hbm
     t = pl.program_id(0)
     start = starts_ref[t]
     end = ends_ref[t]
@@ -681,6 +687,7 @@ def _run_bwd_kernel(starts, ends, attr_f, attr_i, rayd_t, pix_t, fwd_t,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 5, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # zero-init records (donated)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -692,13 +699,16 @@ def _run_bwd_kernel(starts, ends, attr_f, attr_i, rayd_t, pix_t, fwd_t,
             pltpu.SemaphoreType.DMA,
         ],
     )
+    grec_init = jnp.zeros((cap, NG), jnp.float32)
     return pl.pallas_call(
         _bwd_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((cap, NG), jnp.float32),
+        # arg 8 = grec_init (indices count the scalar-prefetch args too)
+        input_output_aliases={8: 0},
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, ends, attr_f, attr_i, rayd_t, pix_t, fwd_t, gin_t)
+    )(starts, ends, attr_f, attr_i, rayd_t, pix_t, fwd_t, gin_t, grec_init)
 
 
 # =============================================================================
@@ -717,14 +727,14 @@ def _binned_prepare(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     ndc, img = project_verts(verts, mv_t, proj_t, width, height)
     pre = preprocess_faces(ndc, img, faces, width, height, TILE, TILE)
     raw = emit_and_sort(pre, gx, gy, kcap)
-    keys = align_to_slabs(raw, n_tiles, SLAB, cap)
+    keys = align_to_slabs(raw, n_tiles, SLAB, cap, faces.shape[0])
 
     cam_o = inv_mv_t[:, 3, :3]  # [B, 3]
     face_f, face_i = _build_face_tables(
         verts, faces, verts_color, faces_opacity, verts_depth, faces_intense,
         img, cam_o,
     )
-    attr_f, attr_i = _build_slot_attrs(face_f, face_i, keys, faces.shape[0])
+    attr_f, attr_i = _build_slot_attrs(face_f, face_i, keys)
 
     ray_o, ray_d = generate_rays(inv_mv_t, inv_proj_t, width, height,
                                  norm_eps_mode="tri")
@@ -764,10 +774,16 @@ def _overflow_warning(keys: AlignedKeys, kcap: int) -> None:
     never drops -- it resizes exactly).
 
     Emitted through jax.debug.print on backends that support host callbacks;
-    the axon remote runtime does not (probed: UNIMPLEMENTED host send/recv),
-    so there the warning is skipped and callers must use ``with_aux=True`` or
-    utils.diagnostics.tri_render_stats to observe the overflow flag."""
-    if jax.default_backend() == "axon":
+    the axon remote runtime does not (probed: UNIMPLEMENTED host send/recv --
+    it reports platform "tpu" and is only identifiable by its
+    platform_version string), so there the warning is skipped and callers
+    must use ``with_aux=True`` or utils.diagnostics.tri_render_stats to
+    observe the overflow flag."""
+    try:
+        version = getattr(jax.devices()[0].client, "platform_version", "")
+    except Exception:
+        version = ""
+    if "axon" in version.lower():
         return
 
     def warn(t):
@@ -866,38 +882,22 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
     rec = _run_bwd_kernel(keys.starts, keys.ends, attr_f, attr_i, rayd_t,
                           pix_t, fwd_state_t, gin_t, n_tiles, cap)
 
-    # The kernel only writes slabs up to each tile's last contributing face
-    # (max n_contrib); zero everything else: skipped slabs, alignment
-    # padding, and dead capacity.
-    nc_t = fwd_state_t[:, 2]  # [NT, 8, 128]
-    max_nc_tile = jnp.max(nc_t, axis=(1, 2)).astype(jnp.int32)  # [NT]
-    counts = keys.ends - keys.starts
-    used = jnp.minimum(counts, max_nc_tile)
-    used_len = ((used + SLAB - 1) // SLAB) * SLAB
-    slot = jnp.arange(cap, dtype=jnp.int32)
-    tile_of = keys.tile
-    keep = keys.live & ((slot - keys.starts[tile_of]) < used_len[tile_of])
-    # slice to the used columns before masking: avoids materializing the
-    # full 128-wide masked table
-    rec = jnp.where(keep[:, None], rec[:, :NG_USED], 0.0)
-
-    # Reduce per-slot records to per-(view, face) gradients WITHOUT
-    # duplicate-index scatters (TPU scatters serialize on collisions, which
-    # dominated the backward): route each record to its pre-sort *emission*
-    # slot (unique-index scatter -- collision-free), where one face's slots
-    # are contiguous; then per-face sums are prefix-sum differences at the
-    # emission offsets.
-    kcap_n = rec.shape[0]
-    emit_pos = jnp.where(keep, keys.emit, kcap_n)
-    rec_emit = jnp.zeros((kcap_n, NG_USED), jnp.float32).at[emit_pos].set(
-        rec, mode="drop", unique_indices=True,
+    # Reduce per-slot records to per-(view, face) gradients with ONE
+    # deterministic segment scatter-add keyed by the slot's (view, face) id
+    # -- the structural analog of the reference's atomicAdd scatter
+    # (backward.cu:389-418), but with a fixed summation order. Collisions
+    # (a face touching many tiles) serialize inside XLA's scatter yet this
+    # is ~7x cheaper at 100k tris than routing records through per-emission
+    # slots (round 1): the [cap, 24] unique-index row SCATTER was the
+    # backward's wall, not the collisions. No validity masking is needed:
+    # slabs the kernel never visits stay zero (zero-initialized donated
+    # output), in-slab tail rows are zeroed by the kernel, and padding
+    # slots carry flat=0, so they add exact zeros to face (0, 0).
+    face_g = (
+        jnp.zeros((B * F, NG_USED), jnp.float32)
+        .at[keys.flat].add(rec[:, :NG_USED])
+        .reshape(B, F, NG_USED)
     )
-    csum = jnp.concatenate(
-        [jnp.zeros((1, NG_USED), jnp.float32),
-         jnp.cumsum(rec_emit, axis=0)], axis=0,
-    )
-    off = jnp.minimum(keys.offsets, kcap_n)
-    face_g = (csum[off[1:]] - csum[off[:-1]]).reshape(B, F, NG_USED)
 
     inten_bf = faces_intense  # [B, F]
 
