@@ -95,15 +95,86 @@ def bench_tri_scaled(n_tris=100_000, height=800, width=800, n_views=1,
     return min(times) * 1000.0 / (n_views * chain)
 
 
+def bench_tet_scaled(n_grid=20, height=800, width=800, n_views=1, iters=3,
+                     chain=2):
+    """Tet renderer fwd+bwd ms/frame at north-star scale: a Freudenthal
+    tessellation with ~98k faces (48k tets) rendered at 800x800.
+
+    Gradients for verts_color + faces_opacity (the only gradients the tet
+    renderer produces, render.h:84-111)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dmesh_renderer_tpu.ops.tet import render_tet_core
+    from dmesh_renderer_tpu.runtime.native import build_tet_connectivity
+    from dmesh_renderer_tpu.utils.connectivity import freudenthal_grid
+
+    verts, tets = freudenthal_grid(n_grid, jitter=0.15, seed=2)
+    faces, face_tets, tet_faces = build_tet_connectivity(tets)
+    rng = np.random.RandomState(0)
+    vcolor = rng.rand(verts.shape[0], 3).astype(np.float32)
+    fopacity = rng.uniform(0.3, 0.9, faces.shape[0]).astype(np.float32)
+    fintense = rng.uniform(0.5, 1.0,
+                           (n_views, faces.shape[0])).astype(np.float32)
+
+    # ring cameras (reuse the scene helper's camera stack; transposed)
+    mv, proj = _build(1, n_views, height, width)[4:6]
+
+    args = tuple(map(jnp.asarray, (
+        verts, faces, vcolor, fopacity, mv, proj,
+        np.linalg.inv(mv), np.linalg.inv(proj), fintense,
+        tets, face_tets, tet_faces,
+    )))
+    bg = jnp.asarray(np.array([0.1, 0.1, 0.1], np.float32))
+
+    def loss(vcolor, fo):
+        c, d, _active = render_tet_core(
+            args[0], args[1], vcolor, fo, args[4], args[5], args[6],
+            args[7], args[8], args[9], args[10], args[11], bg,
+            height, width, 0,
+        )
+        return jnp.sum(c) + jnp.sum(d)
+
+    grad_fn = jax.grad(loss, argnums=(0, 1))
+
+    @jax.jit
+    def gsteps(fo):
+        def body(fo, _):
+            gs = grad_fn(args[2], fo)
+            fo = fo - 1e-6 * gs[1]
+            return fo, sum(jnp.sum(g) for g in gs)
+        fo, acc = jax.lax.scan(body, fo, None, length=chain)
+        return jnp.sum(acc)
+
+    float(gsteps(args[3]))  # warmup / compile
+
+    times = []
+    for it in range(iters):
+        fo = args[3] * (1.0 - 1e-3 * (it + 1))
+        t0 = time.perf_counter()
+        float(gsteps(fo))
+        times.append(time.perf_counter() - t0)
+    return min(times) * 1000.0 / (n_views * chain), faces.shape[0]
+
+
 def main():
     ms = bench_tri_scaled()
     vs = 1.0 if BENCH_HISTORY_MS is None else BENCH_HISTORY_MS / ms
-    print(json.dumps({
+    result = {
         "metric": "tri_fwd_bwd_ms_per_frame_100k_tris_800px",
         "value": round(ms, 3),
         "unit": "ms/frame",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    try:
+        tet_ms, tet_faces_n = bench_tet_scaled()
+        result["extra"] = {
+            "tet_fwd_bwd_ms_per_frame_98k_faces_800px": round(tet_ms, 3),
+            "tet_faces": int(tet_faces_n),
+        }
+    except Exception as e:  # tet metric is secondary; never lose the headline
+        result["extra"] = {"tet_error": f"{type(e).__name__}: {e}"[:200]}
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

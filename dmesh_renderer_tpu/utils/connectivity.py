@@ -57,3 +57,58 @@ def build_tet_connectivity(tets: np.ndarray):
         raise ValueError("non-manifold tessellation: face shared by >2 tets")
 
     return faces, face_tets, tet_faces
+
+
+# Freudenthal (Kuhn) 6-tet cube split: each tet follows the main diagonal
+# via one of the 6 axis orders, which makes the split conformal across
+# neighboring cubes (shared faces match exactly).
+_KUHN_AXIS_ORDERS = np.array(
+    [[0, 1, 2], [0, 2, 1], [1, 0, 2], [1, 2, 0], [2, 0, 1], [2, 1, 0]],
+    dtype=np.int64,
+)
+
+
+def freudenthal_grid(n: int, jitter: float = 0.0, seed: int = 0):
+    """A conformal tetrahedral tessellation of the cube [-1, 1]^3.
+
+    n cubes per axis, 6 tets per cube (Freudenthal/Kuhn split) ->
+    T = 6 n^3 tets, ~12 n^3 faces. This is the scale generator for the
+    tet renderer (the reference leaves tessellation construction entirely
+    to its caller, dmesh_renderer/__init__.py:461-463).
+
+    jitter: optional uniform vertex perturbation as a fraction of the cell
+    size (< 0.5 keeps tets non-degenerate in practice; walk invariant
+    violations degrade to inactive pixels by contract anyway).
+
+    Returns (verts [P, 3] float32, tets [T, 4] int32).
+    """
+    g = np.arange(n + 1, dtype=np.float32) / n * 2.0 - 1.0
+    verts = np.stack(
+        np.meshgrid(g, g, g, indexing="ij"), axis=-1
+    ).reshape(-1, 3).astype(np.float32)
+    if jitter > 0.0:
+        rng = np.random.RandomState(seed)
+        verts = verts + rng.uniform(
+            -jitter, jitter, verts.shape
+        ).astype(np.float32) * (2.0 / n)
+
+    ii, jj, kk = np.meshgrid(
+        np.arange(n, dtype=np.int64), np.arange(n, dtype=np.int64),
+        np.arange(n, dtype=np.int64), indexing="ij",
+    )
+    base = np.stack([ii, jj, kk], axis=-1).reshape(-1, 3)  # [n^3, 3]
+    eye = np.eye(3, dtype=np.int64)
+
+    tet_corners = []
+    for order in _KUHN_AXIS_ORDERS:
+        c0 = base
+        c1 = c0 + eye[order[0]]
+        c2 = c1 + eye[order[1]]
+        c3 = c2 + eye[order[2]]
+        tet_corners.append(np.stack([c0, c1, c2, c3], axis=1))
+    corners = np.concatenate(tet_corners, axis=0)  # [6 n^3, 4, 3]
+    tets = (
+        (corners[..., 0] * (n + 1) + corners[..., 1]) * (n + 1)
+        + corners[..., 2]
+    ).astype(np.int32)
+    return verts, tets
