@@ -152,21 +152,38 @@ def _first_intersection(verts, faces, valid, order, ray_o, ray_d):
 # Connectivity helpers
 # =============================================================================
 
-def _march_tables(verts, faces, tets, tet_faces, verts_color):
+def _march_tables(verts, faces, tets, tet_faces, face_tets, verts_color,
+                  faces_opacity):
     """Precomputed march-time tables.
 
-    The per-step connectivity walk needs face geometry, orientation, and
-    shading; gathering nested verts[faces[...]] plus tet centroids every step
-    dominates the march. Instead:
+    The per-step connectivity walk needs face geometry, orientation,
+    neighbor connectivity and shading. Round 1 gathered these from five
+    separate tables each step; TPU gathers are issue-overhead-bound (not
+    bandwidth-bound), so everything a step needs is packed into ONE row per
+    tet and one row per face:
 
-      geo  [F, 12]  p0, e1, e2, unit normal n-hat (norm clamped at 1e-4,
-                    cuda_renderer/auxiliary.h:366-369)
-      sign [T, 4]   +1/-1 per (tet, face-slot): outward normal w.r.t. the
-                    tet = sign * n-hat (the centroid flip test of
-                    tet_face_outward_normal, auxiliary.h:371-394, evaluated
-                    once per (tet, slot) instead of per pixel per step)
-      col9 [F, 9]   the 3 vertex colors of each face
+      tet_pack [T, 64]  for each of the 4 face slots: p0, e1, e2, unit
+                        normal n-hat (norm clamped at 1e-4,
+                        cuda_renderer/auxiliary.h:366-369) = 48 floats;
+                        then sign[4] (outward = sign * n-hat: the centroid
+                        flip test of tet_face_outward_normal,
+                        auxiliary.h:371-394, evaluated once per (tet, slot)
+                        instead of per pixel per step); face ids[4] and
+                        neighbor tet ids[4] stored as exact float32
+                        (ids < 2^24)
+      shade    [F, 16]  col9 (3 vertex colors), alpha, fv[3] vertex ids
+                        (f32-exact; gradients are hand-written in the
+                        custom_vjp backward, so packing traced values is
+                        sound)
+      geo      [F, 12]  kept for the one-time first-face orientation test
+      sign     [T, 4]   kept for the one-time first-tet selection
+
+    The neighbor precompute folds the reference's per-step face_tets lookup
+    (forward.cu:761-768: first entry that is neither curr_tet nor -1) into
+    the table: nbr[t, j] is exactly that selection for tet t's slot j.
     """
+    F = faces.shape[0]
+    T = tets.shape[0]
     p0 = verts[faces[:, 0]]
     p1 = verts[faces[:, 1]]
     p2 = verts[faces[:, 2]]
@@ -184,8 +201,30 @@ def _march_tables(verts, faces, tets, tet_faces, verts_color):
     ) > 0.0
     sign = jnp.where(flip, -1.0, 1.0).astype(jnp.float32)  # [T, 4]
 
-    col9 = verts_color[faces].reshape(faces.shape[0], 9)
-    return {"geo": geo, "sign": sign, "col9": col9}
+    ft2 = face_tets[tf]  # [T, 4, 2]
+    tidx = jnp.arange(T, dtype=jnp.int32)[:, None]
+    c0, c1 = ft2[..., 0], ft2[..., 1]
+    ok0 = (c0 != tidx) & (c0 != -1)
+    ok1 = (c1 != tidx) & (c1 != -1)
+    nbr = jnp.where(ok0, c0, jnp.where(ok1, c1, -1))  # [T, 4]
+
+    tet_pack = jnp.concatenate(
+        [
+            geo[tf].reshape(T, 48),
+            sign,
+            tet_faces.astype(jnp.float32),
+            nbr.astype(jnp.float32),
+            jnp.zeros((T, 4), jnp.float32),
+        ],
+        axis=1,
+    )  # [T, 64]
+
+    col9 = verts_color[faces].reshape(F, 9)
+    shade = jnp.concatenate(
+        [col9, faces_opacity[:, None], faces.astype(jnp.float32),
+         jnp.zeros((F, 3), jnp.float32)], axis=1
+    )  # [F, 16]: col9, alpha, vertex ids (f32-exact)
+    return {"tet_pack": tet_pack, "shade": shade, "geo": geo, "sign": sign}
 
 
 def _mt_from_edges(ray_o, ray_d, p0, e1, e2):
@@ -203,31 +242,36 @@ def _mt_from_edges(ray_o, ray_d, p0, e1, e2):
     return jnp.stack([t, u, v], axis=-1), nd
 
 
-def _step_through_tet(march, tet_faces, face_tets,
-                      curr_face, curr_tet, ray_o, ray_d, direction):
+def _step_through_tet(march, curr_face, curr_tet, ray_o, ray_d, direction):
     """One connectivity step of the march (shared by fwd and bwd).
 
     direction=+1: forward walk (exit face: outward normal . d > 0,
     entry-face normal must satisfy . d < 0) -- forward.cu:672-775.
     direction=-1: backward walk (signs flipped) -- backward.cu:372-484.
 
+    One gather per step: the packed per-tet row (geometry, orientation,
+    face ids, precomputed neighbors -- see _march_tables).
+
     Returns (err, next_face, next_tet, next_t, next_u, next_v), where err
     marks the reference's invariant violations (cases 1-3).
     """
     ct = jnp.maximum(curr_tet, 0)
-    tf = tet_faces[ct]  # [B, N, 4]
+    pack = march["tet_pack"][ct]  # [B, N, 64] -- the step's only gather
+    shape = ct.shape
+    geo_j = pack[..., 0:48].reshape(shape + (4, 12))
+    sign_j = pack[..., 48:52]
+    tf = pack[..., 52:56].astype(jnp.int32)  # [B, N, 4] face ids
+    nbr_j = pack[..., 56:60].astype(jnp.int32)
+
     is_entry = tf == curr_face[..., None]
     other = ~is_entry
     cnt = jnp.sum(other.astype(jnp.int32), axis=-1)
     err1 = cnt != 3  # error case 1 (forward.cu:687-691)
 
-    fj = jnp.maximum(tf, 0)  # [B, N, 4]
-    geo_j = march["geo"][fj]  # [B, N, 4, 12]
     p0j = geo_j[..., 0:3]
     e1j = geo_j[..., 3:6]
     e2j = geo_j[..., 6:9]
     nhat_j = geo_j[..., 9:12]
-    sign_j = march["sign"][ct]  # [B, N, 4]
     outdot_j = sign_j * jnp.sum(nhat_j * ray_d[..., None, :], axis=-1)
 
     # entry-face normal orientation check (error case 2, forward.cu:704-717):
@@ -259,37 +303,124 @@ def _step_through_tet(march, tet_faces, face_tets,
     next_v = jnp.take_along_axis(
         tuv[..., 2], sel_safe[..., None], axis=-1)[..., 0]
 
-    # the other tet across next_face (forward.cu:761-768: first entry that is
-    # neither curr_tet nor -1)
-    ft = face_tets[jnp.maximum(next_face, 0)]  # [B, N, 2]
-    c0, c1 = ft[..., 0], ft[..., 1]
-    ok0 = (c0 != curr_tet) & (c0 != -1)
-    ok1 = (c1 != curr_tet) & (c1 != -1)
-    next_tet = jnp.where(ok0, c0, jnp.where(ok1, c1, -1))
+    # the other tet across next_face (forward.cu:761-768), precomputed in
+    # the table: nbr[ct, j] = first face_tets entry != ct and != -1
+    next_tet = jnp.take_along_axis(
+        nbr_j, sel_safe[..., None], axis=-1)[..., 0]
 
     err = err1 | err2 | err3
     return err, next_face, next_tet, next_t, next_u, next_v
 
 
-def _march_state_gather(march, faces, faces_opacity, faces_intense,
-                        curr_face):
-    """Per-pixel face attribute gathers for the current face."""
+def _march_state_gather(march, fi_flat, fbase, curr_face):
+    """Per-pixel attributes of the current face: one packed-row gather plus
+    the per-view intensity gather (fi_flat: faces_intense flattened to
+    [B*F]; fbase: per-pixel view offset b*F)."""
     f = jnp.maximum(curr_face, 0)
-    fv = faces[f]  # [B, N, 3]
-    c = march["col9"][f].reshape(f.shape + (3, 3))  # [B, N, 3, 3]
-    alpha = faces_opacity[f]  # [B, N]
-    B = curr_face.shape[0]
-    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
-    inten = faces_intense[b_idx, f]  # [B, N]
+    row = march["shade"][f]  # [M, 16]
+    c = row[..., 0:9].reshape(f.shape + (3, 3))  # [M, 3, 3]
+    alpha = row[..., 9]  # [M]
+    fv = row[..., 10:13].astype(jnp.int32)  # [M, 3]
+    inten = fi_flat[fbase + f]  # [M]
     return fv, c, alpha, inten
 
 
-def _point_depth(ray_o, ray_d, t, mv_t, proj_t):
-    """NDC depth of the 3D point ray_o + t*ray_d (forward.cu:628-632)."""
-    p = ray_o + ray_d * t[..., None]
-    pv = transform_point43(p, mv_t[:, None, :, :])
-    pp = transform_point44(pv, proj_t[:, None, :, :])
-    return pp[..., 2] / clamp_w(pp[..., 3])
+def _projective_ray(ray_o, ray_d, mv_t, proj_t):
+    """Per-pixel homogeneous ray through the full camera transform.
+
+    The reference re-projects the 3D intersection point every march step to
+    get its NDC depth (forward.cu:628-632). proj(mv(o + t d)) is affine in
+    t in homogeneous space, so precompute ph_o = P(M(o)) and
+    ph_d = P_lin(M_lin(d)) once per pixel; per step the depth is just
+    (ph_o.z + t ph_d.z) / clamp_w(ph_o.w + t ph_d.w).
+    """
+    pv_o = transform_point43(ray_o, mv_t[:, None, :, :])
+    dv = (ray_d[..., 0:1] * mv_t[:, None, 0, :3]
+          + ray_d[..., 1:2] * mv_t[:, None, 1, :3]
+          + ray_d[..., 2:3] * mv_t[:, None, 2, :3])
+    ph_o = transform_point44(pv_o, proj_t[:, None, :, :])  # [B, N, 4]
+    ph_d = (dv[..., 0:1] * proj_t[:, None, 0, :]
+            + dv[..., 1:2] * proj_t[:, None, 1, :]
+            + dv[..., 2:3] * proj_t[:, None, 2, :])  # [B, N, 4]
+    return ph_o, ph_d
+
+
+def _depth_at(ph_o, ph_d, t):
+    return (ph_o[..., 2] + t * ph_d[..., 2]) / clamp_w(
+        ph_o[..., 3] + t * ph_d[..., 3])
+
+
+# =============================================================================
+# Active-ray compaction
+# =============================================================================
+
+# The lockstep march pays every surviving iteration over the full pixel
+# buffer, but transmittance kills most rays within a few face crossings --
+# only silhouette-grazing rays walk far. Phase sizes shrink by this factor.
+COMPACT_SHRINK = 8
+# Below this buffer size compaction is pure overhead (also keeps the tiny
+# CPU test scenes on the single-phase path).
+COMPACT_MIN_SIZE = 65_536
+
+
+def _march_phase_sizes(m: int) -> list[int]:
+    sizes = [m]
+    while sizes[-1] // COMPACT_SHRINK >= COMPACT_MIN_SIZE:
+        sizes.append(sizes[-1] // COMPACT_SHRINK)
+    return sizes
+
+
+def _compacted_while(per_pixel, globals_, consts, body_fn, max_steps):
+    """Run the march with periodic active-ray compaction.
+
+    per_pixel: dict of [M, ...] state arrays, must contain a monotone
+    "done" mask. globals_: dict of non-pixel state (step counter, gradient
+    accumulators). consts: dict of [M, ...] per-pixel constants (rays etc.).
+    body_fn(per_pixel, globals_, consts) -> (per_pixel, globals_).
+
+    Phase k loops until the alive count fits the next (8x smaller) buffer,
+    then gathers the alive rays (stable: all alive pixels survive the cut
+    by construction) and recurses; results scatter back on unwind. The
+    CUDA analog is free: hardware schedules only non-retired threads
+    (forward.cu:595 while-loop); on TPU the compaction gather buys the
+    same "pay for live rays only" property.
+    """
+    sizes = _march_phase_sizes(per_pixel["done"].shape[0])
+
+    def run(pp, gl, cs, level):
+        is_last = level == len(sizes) - 1
+
+        def cond(c):
+            p, g = c
+            alive = ~p["done"]
+            base = (g["step"] < max_steps) & jnp.any(alive)
+            if is_last:
+                return base
+            return base & (
+                jnp.sum(alive.astype(jnp.int32)) > sizes[level + 1]
+            )
+
+        def body(c):
+            p, g = c
+            return body_fn(p, g, cs)
+
+        pp, gl = lax.while_loop(cond, body, (pp, gl))
+        if is_last:
+            return pp, gl
+
+        # alive rays first (stable: preserves pixel order); all alive rays
+        # fit because the loop above only exits below the next size (or
+        # fully done / step-capped, in which case deeper phases no-op).
+        idx = jnp.argsort(pp["done"], stable=True)[:sizes[level + 1]]
+        sub_pp = jax.tree.map(lambda x: x[idx], pp)
+        sub_cs = jax.tree.map(lambda x: x[idx], cs)
+        sub_pp, gl = run(sub_pp, gl, sub_cs, level + 1)
+        pp = jax.tree.map(
+            lambda full, sub: full.at[idx].set(sub), pp, sub_pp
+        )
+        return pp, gl
+
+    return run(per_pixel, globals_, consts, 0)
 
 
 # =============================================================================
@@ -339,7 +470,9 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
             verts, faces, pre["valid"], order, ray_o, ray_d
         )
 
-    march = _march_tables(verts, faces, tets, tet_faces, verts_color)
+    march = _march_tables(verts, faces, tets, tet_faces, face_tets,
+                          verts_color, faces_opacity)
+    ph_o, ph_d = _projective_ray(ray_o, ray_d, mv_t, proj_t)
 
     # starting tet: the side whose outward first-face normal opposes the ray
     # (forward.cu:420-444; when both qualify the second entry wins)
@@ -363,34 +496,42 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
 
     done0 = (first_face == -1) | (first_tet == -1)
 
-    state = dict(
-        curr_face=first_face,
-        curr_tet=first_tet,
-        curr_t=rt,
-        curr_u=iu,
-        curr_v=iv,
-        C=jnp.zeros((B, N, 3), jnp.float32),
-        D=jnp.zeros((B, N), jnp.float32),
-        log_T=jnp.zeros((B, N), jnp.float32),
-        prev_log_T=jnp.zeros((B, N), jnp.float32),
-        last_face=jnp.full((B, N), jnp.int32(-1)),
-        last_tet=jnp.full((B, N), jnp.int32(-1)),
-        n_contrib=jnp.zeros((B, N), jnp.int32),
-        active=jnp.zeros((B, N), jnp.bool_),
-        done=done0,
-        step=jnp.int32(0),
+    # flatten to [M]: the march compacts the alive-ray set across views
+    M = B * N
+    F = faces.shape[0]
+    flat = lambda x: x.reshape((M,) + x.shape[2:])
+    fi_flat = faces_intense.reshape(-1)  # [B*F]
+    fbase = (jnp.arange(M, dtype=jnp.int32) // N) * F
+
+    consts = dict(
+        ray_o=flat(ray_o), ray_d=flat(ray_d),
+        ph_o=flat(ph_o), ph_d=flat(ph_d), fbase=fbase,
     )
+    per_pixel = dict(
+        curr_face=flat(first_face),
+        curr_tet=flat(first_tet),
+        curr_t=flat(rt),
+        curr_u=flat(iu),
+        curr_v=flat(iv),
+        C=jnp.zeros((M, 3), jnp.float32),
+        D=jnp.zeros((M,), jnp.float32),
+        log_T=jnp.zeros((M,), jnp.float32),
+        prev_log_T=jnp.zeros((M,), jnp.float32),
+        last_face=jnp.full((M,), jnp.int32(-1)),
+        last_tet=jnp.full((M,), jnp.int32(-1)),
+        n_contrib=jnp.zeros((M,), jnp.int32),
+        active=jnp.zeros((M,), jnp.bool_),
+        done=flat(done0),
+    )
+    globals_ = dict(step=jnp.int32(0))
 
-    def cond(s):
-        return (s["step"] < max_steps) & jnp.any(~s["done"])
-
-    def body(s):
+    def body(s, gl, cs):
         alive = ~s["done"]
         cf, ct = s["curr_face"], s["curr_tet"]
 
         # --- 1. blend current face (forward.cu:597-653) ---
-        fv, c3, alpha, inten = _march_state_gather(
-            march, faces, faces_opacity, faces_intense, cf
+        _fv, c3, alpha, inten = _march_state_gather(
+            march, fi_flat, cs["fbase"], cf
         )
         col = (
             c3[..., 0, :]
@@ -400,7 +541,7 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         tmp_T = jnp.exp(s["log_T"])
         w = jnp.where(alive, tmp_T * alpha, 0.0)
         C = s["C"] + col * w[..., None]
-        dep = _point_depth(ray_o, ray_d, s["curr_t"], mv_t, proj_t)
+        dep = _depth_at(cs["ph_o"], cs["ph_d"], s["curr_t"])
         D = s["D"] + dep * w
 
         prev_log_T = jnp.where(alive, s["log_T"], s["prev_log_T"])
@@ -428,7 +569,7 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         # --- 3. walk to the next face (forward.cu:672-775) ---
         walk = alive & ~newly_done
         err, nf, nt, t2, u2, v2 = _step_through_tet(
-            march, tet_faces, face_tets, cf, ct, ray_o, ray_d, +1,
+            march, cf, ct, cs["ray_o"], cs["ray_d"], +1,
         )
         newly_done = newly_done | (walk & err)
         advance = walk & ~err
@@ -448,10 +589,10 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
             n_contrib=n_contrib,
             active=active,
             done=s["done"] | newly_done,
-            step=s["step"] + 1,
-        )
+        ), dict(step=gl["step"] + 1)
 
-    s = lax.while_loop(cond, body, state)
+    s, _gl = _compacted_while(per_pixel, globals_, consts, body, max_steps)
+    s = {k: v.reshape((B, N) + v.shape[1:]) for k, v in s.items()}
 
     final_T = jnp.exp(s["log_T"])
     active = s["active"]
@@ -493,7 +634,8 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
     F = faces.shape[0]
     N = height * width
 
-    march = _march_tables(verts, faces, tets, tet_faces, verts_color)
+    march = _march_tables(verts, faces, tets, tet_faces, face_tets,
+                          verts_color, faces_opacity)
 
     ray_o, ray_d = generate_rays(
         inv_mv_t, inv_proj_t, width, height, norm_eps_mode="tet",
@@ -501,6 +643,7 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
     )
     ray_o = ray_o.reshape(B, N, 3)
     ray_d = ray_d.reshape(B, N, 3)
+    ph_o, ph_d = _projective_ray(ray_o, ray_d, mv_t, proj_t)
 
     gcol = dL_dcolor.transpose(0, 2, 3, 1).reshape(B, N, 3)
     gdep = dL_ddepth.reshape(B, N)
@@ -529,34 +672,47 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
     ft = face_tets[lf_safe]
     curr_tet0 = jnp.where(ft[..., 0] != last_tet, ft[..., 0], ft[..., 1])
 
-    state = dict(
-        curr_face=last_face,
-        curr_tet=curr_tet0,
-        curr_t=tuv[..., 0],
-        curr_u=tuv[..., 1],
-        curr_v=tuv[..., 2],
-        prev_log_T=final_prev_log_T,
-        first=jnp.ones((B, N), jnp.bool_),
-        last_alpha=jnp.zeros((B, N), jnp.float32),
-        last_color=jnp.zeros((B, N, 3), jnp.float32),
-        last_depth=jnp.zeros((B, N), jnp.float32),
-        accum_rec=jnp.zeros((B, N, 3), jnp.float32),
-        accum_recd=jnp.zeros((B, N), jnp.float32),
+    # flatten to [M] for active-ray compaction (gradient accumulators are
+    # global arrays -- they travel in globals_, untouched by compaction)
+    M = B * N
+    flat = lambda x: x.reshape((M,) + x.shape[2:])
+    fi_flat = faces_intense.reshape(-1)
+    fbase = (jnp.arange(M, dtype=jnp.int32) // N) * F
+
+    consts = dict(
+        ray_o=flat(ray_o), ray_d=flat(ray_d),
+        ph_o=flat(ph_o), ph_d=flat(ph_d), fbase=fbase,
+        gcol=flat(gcol), gdep=flat(gdep), bg_dot=flat(bg_dot),
+        final_T=flat(final_T), final_prev_T=flat(final_prev_T),
+        first_face=flat(first_face),
+    )
+    per_pixel = dict(
+        curr_face=flat(last_face),
+        curr_tet=flat(curr_tet0),
+        curr_t=flat(tuv[..., 0]),
+        curr_u=flat(tuv[..., 1]),
+        curr_v=flat(tuv[..., 2]),
+        prev_log_T=flat(final_prev_log_T),
+        first=jnp.ones((M,), jnp.bool_),
+        last_alpha=jnp.zeros((M,), jnp.float32),
+        last_color=jnp.zeros((M, 3), jnp.float32),
+        last_depth=jnp.zeros((M,), jnp.float32),
+        accum_rec=jnp.zeros((M, 3), jnp.float32),
+        accum_recd=jnp.zeros((M,), jnp.float32),
+        done=flat(done0),
+    )
+    globals_ = dict(
+        step=jnp.int32(0),
         g_vcolor=jnp.zeros((P, 3), jnp.float32),
         g_fopacity=jnp.zeros((F,), jnp.float32),
-        done=done0,
-        step=jnp.int32(0),
     )
 
-    def cond(s):
-        return (s["step"] < max_steps) & jnp.any(~s["done"])
-
-    def body(s):
+    def body(s, gl, cs):
         alive = ~s["done"]
         cf, ct = s["curr_face"], s["curr_tet"]
 
         fv, c3, alpha, inten = _march_state_gather(
-            march, faces, faces_opacity, faces_intense, cf
+            march, fi_flat, cs["fbase"], cf
         )
         i1 = s["curr_u"]
         i2 = s["curr_v"]
@@ -566,7 +722,7 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
             + i1[..., None] * c3[..., 1, :]
             + i2[..., None] * c3[..., 2, :]
         ) * inten[..., None]
-        dep = _point_depth(ray_o, ray_d, s["curr_t"], mv_t, proj_t)
+        dep = _depth_at(cs["ph_o"], cs["ph_d"], s["curr_t"])
 
         # reconstruct prev transmittance (backward.cu:273-277)
         plt = jnp.where(
@@ -586,19 +742,19 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
             + (1.0 - s["last_alpha"]) * s["accum_recd"]
         )
 
-        dL_dfcolor = gcol * (alpha * prev_T)[..., None]
+        dL_dfcolor = cs["gcol"] * (alpha * prev_T)[..., None]
         dL_dop = (
-            jnp.sum((col - accum_rec_new) * gcol, axis=-1)
-            + (dep - accum_recd_new) * gdep
+            jnp.sum((col - accum_rec_new) * cs["gcol"], axis=-1)
+            + (dep - accum_recd_new) * cs["gdep"]
         ) * prev_T
 
         # background term (backward.cu:317-339)
         bg_coef = jnp.where(
             alpha == 1.0,
-            -final_prev_T,
-            -final_T / jnp.maximum(1.0 - alpha, 1e-37),
+            -cs["final_prev_T"],
+            -cs["final_T"] / jnp.maximum(1.0 - alpha, 1e-37),
         )
-        dL_dop = dL_dop + bg_coef * bg_dot
+        dL_dop = dL_dop + bg_coef * cs["bg_dot"]
 
         dL_dfcolor = jnp.where(alive[..., None], dL_dfcolor, 0.0)
         dL_dop = jnp.where(alive, dL_dop, 0.0)
@@ -609,20 +765,17 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
         last_depth = jnp.where(alive, dep, s["last_depth"])
         last_alpha = jnp.where(alive, alpha, s["last_alpha"])
 
-        # scatter (flattened, masked lanes contribute zeros at index 0)
+        # scatter (masked lanes contribute zeros at index 0)
         upd = dL_dfcolor[..., None, :] * (
             jnp.stack([i0, i1, i2], axis=-1)[..., None]
-        ) * inten[..., None, None]  # [B, N, 3verts, 3ch]
-        fv_flat = fv.reshape(-1, 3)
-        g_vcolor = s["g_vcolor"].at[fv_flat].add(
-            upd.reshape(-1, 3, 3), mode="drop"
-        )
-        g_fopacity = s["g_fopacity"].at[
-            jnp.maximum(cf, 0).reshape(-1)
-        ].add(dL_dop.reshape(-1), mode="drop")
+        ) * inten[..., None, None]  # [M, 3verts, 3ch]
+        g_vcolor = gl["g_vcolor"].at[fv].add(upd, mode="drop")
+        g_fopacity = gl["g_fopacity"].at[
+            jnp.maximum(cf, 0)
+        ].add(dL_dop, mode="drop")
 
         # terminate at the first face (backward.cu:363-366)
-        reached_first = alive & (cf == first_face)
+        reached_first = alive & (cf == cs["first_face"])
         newly_done = reached_first
 
         # walk backward (backward.cu:372-484)
@@ -630,7 +783,7 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
         newly_done = newly_done | no_tet
         walk = alive & ~newly_done
         err, nf, nt, t2, u2, v2 = _step_through_tet(
-            march, tet_faces, face_tets, cf, ct, ray_o, ray_d, -1,
+            march, cf, ct, cs["ray_o"], cs["ray_d"], -1,
         )
         newly_done = newly_done | (walk & err)
         advance = walk & ~err
@@ -648,14 +801,12 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
             last_depth=last_depth,
             accum_rec=accum_rec,
             accum_recd=accum_recd,
-            g_vcolor=g_vcolor,
-            g_fopacity=g_fopacity,
             done=s["done"] | newly_done,
-            step=s["step"] + 1,
-        )
+        ), dict(step=gl["step"] + 1, g_vcolor=g_vcolor,
+                g_fopacity=g_fopacity)
 
-    s = lax.while_loop(cond, body, state)
-    return s["g_vcolor"], s["g_fopacity"]
+    _s, gl = _compacted_while(per_pixel, globals_, consts, body, max_steps)
+    return gl["g_vcolor"], gl["g_fopacity"]
 
 
 # =============================================================================

@@ -410,3 +410,368 @@ def render_tri_np_backward(verts, faces, vcolor, fopacity, mv_t, proj_t,
         "verts_depth": g_vdepth,
         "faces_intense": g_fintense,
     }
+
+
+# ---------------------------------------------------------------------------
+# tet renderer: scalar executable spec (cuda_renderer/forward.cu:485-815,
+# backward.cu:86-487). No jitter (ray_random_seed == 0 only).
+# ---------------------------------------------------------------------------
+
+def _rays_tet(inv_mv_t, inv_proj_t, W, H):
+    """Tet-renderer rays: direction norm clamped at 1e-4
+    (cuda_renderer/forward.cu:142-143)."""
+    ro = inv_mv_t[3, :3].astype(np.float32)
+    ray_o = np.broadcast_to(ro, (H, W, 3))
+    ray_d = np.zeros((H, W, 3), np.float32)
+    for y in range(H):
+        for x in range(W):
+            nx = pix2ndc(x + 0.5, W)
+            ny = pix2ndc(y + 0.5, H)
+            pv = xform44(np.array([nx, ny, -1.0], np.float32), inv_proj_t)[:3]
+            pw = xform44(pv, inv_mv_t)[:3]
+            d = pw - ro
+            d = d / max(np.sqrt(np.dot(d, d)), 1e-4)
+            ray_d[y, x] = d
+    return ray_o, ray_d
+
+
+def np_mt_strict(ro, rd, p0, p1, p2):
+    """Strict Moller-Trumbore validity (cuda_renderer/auxiliary.h:292-295):
+    returns (t, u, v) iff t,u,v >= 0 and u+v <= 1, else None."""
+    mt = np_mt(ro, rd, p0, p1, p2)
+    if mt is None:
+        return None
+    t, u, v = mt
+    if t >= 0 and u >= 0 and v >= 0 and u + v <= 1:
+        return t, u, v
+    return None
+
+
+def _tet_tables(verts, faces, tets):
+    """Face unit normal (norm clamped 1e-4, cuda_renderer/auxiliary.h:366-369)
+    and per-(tet, slot) outward sign (centroid flip, auxiliary.h:371-394)."""
+    F = faces.shape[0]
+    nhat = np.zeros((F, 3), np.float32)
+    for f in range(F):
+        p0, p1, p2 = verts[faces[f]]
+        n = np.cross(p1 - p0, p2 - p0)
+        nhat[f] = n / max(np.sqrt(np.dot(n, n)), 1e-4)
+    return nhat
+
+
+def _outward_sign(verts, faces, tets, nhat, t, f):
+    center = verts[tets[t]].mean(axis=0)
+    p0 = verts[faces[f][0]]
+    return -1.0 if np.dot(nhat[f], center - p0) > 0 else 1.0
+
+
+def _sorted_faces_min_depth(ndc, img, faces, W, H, tile=16):
+    """Cull + stable sort by clamped min vertex NDC depth
+    (renderer_impl.cu:318-329 sorts binning keys by min_depths)."""
+    F = faces.shape[0]
+    gx = (W + tile - 1) // tile
+    gy = (H + tile - 1) // tile
+    keys = []
+    valid = np.zeros(F, bool)
+    for f in range(F):
+        zs = ndc[faces[f], 2]
+        if zs.max() < -1.0 or zs.min() > 1.0:
+            keys.append(np.inf)
+            continue
+        pts = img[faces[f]]
+        rminx = min(gx, max(0, int(pts[:, 0].min() / tile)))
+        rminy = min(gy, max(0, int(pts[:, 1].min() / tile)))
+        rmaxx = min(gx, max(0, int(pts[:, 0].max() / tile) + 1))
+        rmaxy = min(gy, max(0, int(pts[:, 1].max() / tile) + 1))
+        if (rmaxx - rminx) * (rmaxy - rminy) == 0:
+            keys.append(np.inf)
+            continue
+        valid[f] = True
+        keys.append(min(max((zs.min() + 1.0) * 0.5, 0.0), 1.0))
+    order = np.argsort(np.asarray(keys), kind="stable")
+    return order, valid
+
+
+def render_tet_np(verts, faces, vcolor, fopacity, mv_t, proj_t, fintense,
+                  tets, face_tets, tet_faces, bg, H, W, max_steps=512):
+    """Scalar tet forward: first hit + connectivity march
+    (cuda_renderer/forward.cu:298-445, :485-815)."""
+    B = mv_t.shape[0]
+    color = np.zeros((B, 3, H, W), np.float32)
+    depth_out = np.ones((B, 1, H, W), np.float32)
+    active_out = np.zeros((B, H, W), bool)
+    nhat = _tet_tables(verts, faces, tets)
+    LOG_TERM = np.log(np.float32(T_EPS) * 0.1)
+    aux = {
+        "first_face": np.full((B, H, W), -1, np.int64),
+        "last_face": np.full((B, H, W), -1, np.int64),
+        "last_tet": np.full((B, H, W), -1, np.int64),
+        "final_log_T": np.zeros((B, H, W), np.float32),
+        "final_prev_log_T": np.zeros((B, H, W), np.float32),
+    }
+
+    for b in range(B):
+        ndc, img = _project(verts, mv_t[b], proj_t[b], W, H)
+        order, valid = _sorted_faces_min_depth(ndc, img, faces, W, H)
+        inv_mv = np.linalg.inv(mv_t[b])
+        inv_proj = np.linalg.inv(proj_t[b])
+        ray_o, ray_d = _rays_tet(inv_mv, inv_proj, W, H)
+
+        for y in range(H):
+            for x in range(W):
+                ro, rd = ray_o[y, x], ray_d[y, x]
+
+                # --- first hit: smallest strict-MT t; ties -> first in
+                # min-depth sorted order (forward.cu:386-416) ---
+                best = None
+                for f in order:
+                    if not valid[f]:
+                        continue
+                    mt = np_mt_strict(ro, rd, *verts[faces[f]])
+                    if mt is None:
+                        continue
+                    if best is None or mt[0] < best[1][0]:
+                        best = (f, mt)
+                if best is None:
+                    color[b, :, y, x] = bg
+                    continue
+                ff, (ct_, cu, cv) = best
+                aux["first_face"][b, y, x] = ff
+
+                # --- starting tet: the side whose outward normal opposes
+                # the ray; second qualifying entry wins (forward.cu:420-444)
+                nd = np.dot(nhat[ff], rd)
+                first_tet = -1
+                for cand in face_tets[ff]:
+                    if cand < 0:
+                        continue
+                    sgn = _outward_sign(verts, faces, tets, nhat, cand, ff)
+                    if sgn * nd < 0:
+                        first_tet = cand
+                if first_tet < 0:
+                    color[b, :, y, x] = bg
+                    continue
+
+                # --- march (forward.cu:595-788) ---
+                cf, ct = ff, first_tet
+                t_, u_, v_ = ct_, cu, cv
+                C = np.zeros(3, np.float32)
+                D = np.float32(0.0)
+                log_T = np.float32(0.0)
+                prev_log_T = np.float32(0.0)
+                is_active = False
+                done = False
+                last_face = last_tet = -1
+                for _step in range(max_steps):
+                    if done:
+                        break
+                    # blend entry face at raw (u, v) -- tet hits are always
+                    # inside faces, no clamping (auxiliary.h has no
+                    # clamp_bary_uv in the tet variant)
+                    vids = faces[cf]
+                    col = (
+                        vcolor[vids[0]]
+                        + (vcolor[vids[1]] - vcolor[vids[0]]) * u_
+                        + (vcolor[vids[2]] - vcolor[vids[0]]) * v_
+                    ) * fintense[b, cf]
+                    a = fopacity[cf]
+                    w = np.exp(log_T) * a
+                    C = C + col * w
+                    # precise depth: reproject the 3D hit (forward.cu:628-632)
+                    p = ro + rd * t_
+                    pp = xform44(xform44(p, mv_t[b])[:3], proj_t[b])
+                    D = D + (pp[2] / clamp_w(pp[3])) * w
+                    prev_log_T = log_T
+                    if a < 1.0:
+                        log_T = log_T + np.log(np.float32(1.0) - a)
+                    else:
+                        log_T = LOG_TERM  # alpha >= 1 (forward.cu:636-642)
+                    last_face, last_tet = cf, ct
+
+                    if np.exp(log_T) < T_EPS:
+                        is_active = True
+                        done = True
+                        break
+                    if ct == -1:  # exited tessellation (forward.cu:667-670)
+                        is_active = True
+                        done = True
+                        break
+
+                    # step through tet (forward.cu:672-775)
+                    tf = tet_faces[ct]
+                    others = [j for j in range(4) if tf[j] != cf]
+                    if len(others) != 3:  # error case 1
+                        done = True
+                        break
+                    sgn_entry = _outward_sign(verts, faces, tets, nhat, ct, cf)
+                    if sgn_entry * np.dot(nhat[cf], rd) >= 0:  # error case 2
+                        done = True
+                        break
+                    exits = []
+                    for j in others:
+                        fj = tf[j]
+                        mt = np_mt_strict(ro, rd, *verts[faces[fj]])
+                        if mt is None:
+                            continue
+                        sgn = _outward_sign(verts, faces, tets, nhat, ct, fj)
+                        if sgn * np.dot(nhat[fj], rd) > 0:
+                            exits.append((j, fj, mt))
+                    if len(exits) != 1:  # error case 3
+                        done = True
+                        break
+                    _, nf, (t_, u_, v_) = exits[-1]  # last match wins
+                    nt = -1
+                    for cand in face_tets[nf]:
+                        if cand != ct and cand != -1:
+                            nt = cand
+                            break
+                    cf, ct = nf, nt
+
+                aux["last_face"][b, y, x] = last_face
+                aux["last_tet"][b, y, x] = last_tet
+                aux["final_log_T"][b, y, x] = log_T
+                aux["final_prev_log_T"][b, y, x] = prev_log_T
+                active_out[b, y, x] = is_active
+                if is_active:
+                    T = np.exp(log_T)
+                    color[b, :, y, x] = C + T * bg
+                    depth_out[b, 0, y, x] = D + T
+                else:
+                    color[b, :, y, x] = bg  # inactive -> pure background
+                    depth_out[b, 0, y, x] = 1.0
+    return color, depth_out, active_out, aux
+
+
+def render_tet_np_backward(verts, faces, vcolor, fopacity, mv_t, proj_t,
+                           fintense, tets, face_tets, tet_faces, bg, H, W,
+                           dL_dcolor, dL_ddepth, aux, max_steps=512):
+    """Scalar tet backward: reverse march, vcolor + fopacity grads only
+    (backward.cu:86-487)."""
+    B = mv_t.shape[0]
+    P = verts.shape[0]
+    F = faces.shape[0]
+    g_vcolor = np.zeros((P, 3), np.float64)
+    g_fopacity = np.zeros(F, np.float64)
+    nhat = _tet_tables(verts, faces, tets)
+
+    for b in range(B):
+        inv_mv = np.linalg.inv(mv_t[b])
+        inv_proj = np.linalg.inv(proj_t[b])
+        ray_o, ray_d = _rays_tet(inv_mv, inv_proj, W, H)
+
+        for y in range(H):
+            for x in range(W):
+                last_face = aux["last_face"][b, y, x]
+                if not bool(aux["first_face"][b, y, x] >= 0):
+                    continue
+                if last_face < 0:
+                    continue
+                # inactive pixels render pure bg -> no gradient flows
+                final_log_T = aux["final_log_T"][b, y, x]
+                final_prev_log_T = aux["final_prev_log_T"][b, y, x]
+                final_T = np.exp(final_log_T)
+                final_prev_T = np.exp(final_prev_log_T)
+                ro, rd = ray_o[y, x], ray_d[y, x]
+                gcol = dL_dcolor[b, :, y, x]
+                gdep = dL_ddepth[b, 0, y, x]
+                bg_dot = float(np.dot(bg, gcol)) + float(gdep)
+
+                # entry-side tet of the last face (backward.cu:224-232)
+                last_tet = aux["last_tet"][b, y, x]
+                ft = face_tets[last_face]
+                ct = ft[0] if ft[0] != last_tet else ft[1]
+                cf = last_face
+                mt = np_mt(ro, rd, *verts[faces[cf]])
+                if mt is None:
+                    continue
+                t_, u_, v_ = mt
+
+                prev_log_T = final_prev_log_T
+                first = True
+                last_alpha = 0.0
+                last_color = np.zeros(3)
+                last_depth = 0.0
+                accum_rec = np.zeros(3)
+                accum_recd = 0.0
+
+                first_face = aux["first_face"][b, y, x]
+                for _step in range(max_steps):
+                    vids = faces[cf]
+                    inten = fintense[b, cf]
+                    i1, i2 = u_, v_
+                    i0 = 1.0 - i1 - i2
+                    col = (
+                        i0 * vcolor[vids[0]] + i1 * vcolor[vids[1]]
+                        + i2 * vcolor[vids[2]]
+                    ) * inten
+                    p = ro + rd * t_
+                    pp = xform44(xform44(p, mv_t[b])[:3], proj_t[b])
+                    dep = pp[2] / clamp_w(pp[3])
+                    a = fopacity[cf]
+
+                    # reconstruct prev transmittance (backward.cu:273-277)
+                    if not first:
+                        prev_log_T = prev_log_T - np.log(
+                            max(np.float32(1.0) - a, np.float32(1e-37)))
+                    first = False
+                    prev_T = np.exp(prev_log_T)
+
+                    accum_rec = (
+                        last_alpha * last_color + (1 - last_alpha) * accum_rec
+                    )
+                    accum_recd = (
+                        last_alpha * last_depth + (1 - last_alpha) * accum_recd
+                    )
+
+                    dL_dfcolor = gcol * a * prev_T
+                    dL_dop = (
+                        float(np.dot(col - accum_rec, gcol))
+                        + (dep - accum_recd) * gdep
+                    ) * prev_T
+                    if a == 1.0:  # backward.cu:317-339
+                        dL_dop += (-final_prev_T) * bg_dot
+                    else:
+                        dL_dop += (-final_T / (1 - a)) * bg_dot
+
+                    g_vcolor[vids[0]] += i0 * dL_dfcolor * inten
+                    g_vcolor[vids[1]] += i1 * dL_dfcolor * inten
+                    g_vcolor[vids[2]] += i2 * dL_dfcolor * inten
+                    g_fopacity[cf] += dL_dop
+
+                    last_color = col
+                    last_depth = dep
+                    last_alpha = a
+
+                    # terminate at the first face (backward.cu:363-366)
+                    if cf == first_face:
+                        break
+                    if ct == -1:
+                        break
+                    # walk backward: exit test flipped (backward.cu:372-484)
+                    tf = tet_faces[ct]
+                    others = [j for j in range(4) if tf[j] != cf]
+                    if len(others) != 3:
+                        break
+                    sgn_entry = _outward_sign(verts, faces, tets, nhat, ct, cf)
+                    if sgn_entry * np.dot(nhat[cf], rd) <= 0:
+                        break
+                    exits = []
+                    for j in others:
+                        fj = tf[j]
+                        mt = np_mt_strict(ro, rd, *verts[faces[fj]])
+                        if mt is None:
+                            continue
+                        sgn = _outward_sign(verts, faces, tets, nhat, ct, fj)
+                        if sgn * np.dot(nhat[fj], rd) < 0:
+                            exits.append((j, fj, mt))
+                    if len(exits) != 1:
+                        break
+                    _, nf, (t_, u_, v_) = exits[-1]
+                    nt = -1
+                    for cand in face_tets[nf]:
+                        if cand != ct and cand != -1:
+                            nt = cand
+                            break
+                    cf, ct = nf, nt
+
+    return {"verts_color": g_vcolor, "faces_opacity": g_fopacity}

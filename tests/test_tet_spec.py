@@ -1,0 +1,117 @@
+"""Tet renderer vs. the scalar NumPy executable spec + golden lock.
+
+The spec (tests/numpy_reference.py: render_tet_np / render_tet_np_backward)
+transcribes the CUDA tet renderer semantics (cuda_renderer/forward.cu:485-815,
+backward.cu:86-487) with plain per-pixel loops; this pins the vectorized JAX
+march (masking, compaction, lockstep invariants) against an independent
+implementation. The golden npz locks against drift between rounds.
+
+Regenerate the golden intentionally with: python tests/test_tet_spec.py --regen
+"""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dmesh_renderer_tpu.ops.tet import render_tet_core
+from dmesh_renderer_tpu.utils.connectivity import (
+    build_tet_connectivity, freudenthal_grid,
+)
+import scenes
+from numpy_reference import render_tet_np, render_tet_np_backward
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "tet_scene.npz")
+H, W, B = 24, 24, 2
+
+
+def _scene():
+    verts, tets = freudenthal_grid(2, jitter=0.12, seed=7)
+    faces, face_tets, tet_faces = build_tet_connectivity(tets)
+    rng = np.random.RandomState(11)
+    vcolor = rng.rand(verts.shape[0], 3).astype(np.float32)
+    fopacity = rng.uniform(0.25, 0.95, faces.shape[0]).astype(np.float32)
+    # exercise the alpha == 1.0 special case (forward.cu:636-642)
+    fopacity[3] = 1.0
+    fintense = rng.uniform(0.5, 1.0, (B, faces.shape[0])).astype(np.float32)
+    mv, proj = scenes.ring_cameras(B, radius=3.0)
+    mv_t = np.swapaxes(mv, 1, 2).copy()
+    proj_t = np.swapaxes(proj, 1, 2).copy()
+    bg = np.array([0.15, 0.05, 0.25], np.float32)
+    return (verts, faces, vcolor, fopacity, mv_t, proj_t, fintense,
+            tets, face_tets, tet_faces, bg)
+
+
+def _jax_render_and_grads(sc):
+    (verts, faces, vcolor, fopacity, mv_t, proj_t, fintense,
+     tets, face_tets, tet_faces, bg) = map(jnp.asarray, sc)
+    rng = np.random.RandomState(5)
+    wc = jnp.asarray(rng.randn(B, 3, H, W).astype(np.float32))
+    wd = jnp.asarray(rng.randn(B, 1, H, W).astype(np.float32))
+
+    def loss(vc, fo):
+        c, d, act = render_tet_core(
+            verts, faces, vc, fo, mv_t, proj_t,
+            jnp.linalg.inv(mv_t), jnp.linalg.inv(proj_t), fintense,
+            tets, face_tets, tet_faces, bg, H, W, 0,
+        )
+        return jnp.sum(c * wc) + jnp.sum(d * wd), (c, d, act)
+
+    (_, (c, d, act)), (g_vc, g_fo) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(vcolor, fopacity)
+    return (np.array(c), np.array(d), np.array(act), np.array(g_vc),
+            np.array(g_fo), np.array(wc), np.array(wd))
+
+
+def test_tet_matches_numpy_spec():
+    sc = _scene()
+    (verts, faces, vcolor, fopacity, mv_t, proj_t, fintense,
+     tets, face_tets, tet_faces, bg) = sc
+    c_j, d_j, act_j, g_vc_j, g_fo_j, wc, wd = _jax_render_and_grads(sc)
+
+    c_n, d_n, act_n, aux = render_tet_np(
+        verts, faces, vcolor, fopacity, mv_t, proj_t, fintense,
+        tets, face_tets, tet_faces, bg, H, W,
+    )
+    # active masks must agree exactly (bit-for-bit contract, SURVEY section 5)
+    np.testing.assert_array_equal(act_j, act_n)
+    np.testing.assert_allclose(c_j, c_n, atol=2e-5)
+    np.testing.assert_allclose(d_j, d_n, atol=2e-5)
+
+    g = render_tet_np_backward(
+        verts, faces, vcolor, fopacity, mv_t, proj_t, fintense,
+        tets, face_tets, tet_faces, bg, H, W, wc, wd, aux,
+    )
+    for got, want, name in (
+        (g_vc_j, g["verts_color"], "verts_color"),
+        (g_fo_j, g["faces_opacity"], "faces_opacity"),
+    ):
+        scale = max(1.0, np.abs(want).max())
+        err = np.abs(got - want).max() / scale
+        assert err < 2e-4, f"{name}: rel Linf {err}"
+
+
+def _golden_payload():
+    sc = _scene()
+    c, d, act, g_vc, g_fo, _, _ = _jax_render_and_grads(sc)
+    return {"color": c, "depth": d, "active": act,
+            "g_vcolor": g_vc, "g_fopacity": g_fo}
+
+
+def test_tet_matches_golden():
+    golden = dict(np.load(GOLDEN))
+    got = _golden_payload()
+    np.testing.assert_array_equal(got["active"], golden["active"])
+    for k in ("color", "depth", "g_vcolor", "g_fopacity"):
+        scale = max(1.0, np.abs(golden[k]).max())
+        err = np.abs(got[k] - golden[k]).max() / scale
+        assert err < 1e-5, f"{k}: rel Linf {err}"
+
+
+if __name__ == "__main__" and "--regen" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+    os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+    np.savez(GOLDEN, **_golden_payload())
+    print(f"wrote {GOLDEN}")
