@@ -162,19 +162,24 @@ def _march_tables(verts, faces, tets, tet_faces, face_tets, verts_color,
     bandwidth-bound), so everything a step needs is packed into ONE row per
     tet and one row per face:
 
-      tet_pack [T, 64]  for each of the 4 face slots: p0, e1, e2, unit
-                        normal n-hat (norm clamped at 1e-4,
-                        cuda_renderer/auxiliary.h:366-369) = 48 floats;
-                        then sign[4] (outward = sign * n-hat: the centroid
+      tet_pack [T, 48]  for each of the 4 face slots: p0, e1, e2 = 36
+                        floats (the unit normal is recomputed per step
+                        with the exact op order of the precompute --
+                        cross, sum-square, sqrt, max 1e-4, divide -- so
+                        it is bit-identical to auxiliary.h:366-369 while
+                        saving 25% of the per-step gather bytes); then
+                        sign[4] (outward = sign * n-hat: the centroid
                         flip test of tet_face_outward_normal,
-                        auxiliary.h:371-394, evaluated once per (tet, slot)
-                        instead of per pixel per step); face ids[4] and
-                        neighbor tet ids[4] stored as exact float32
+                        auxiliary.h:371-394, evaluated once per (tet,
+                        slot) instead of per pixel per step); face ids[4]
+                        and neighbor tet ids[4] stored as exact float32
                         (ids < 2^24)
       shade    [F, 16]  col9 (3 vertex colors), alpha, fv[3] vertex ids
                         (f32-exact; gradients are hand-written in the
                         custom_vjp backward, so packing traced values is
-                        sound)
+                        sound), log(max(1-alpha, 1e-37)) -- precomputed so
+                        the march's log-transmittance update needs no
+                        per-step transcendental
       geo      [F, 12]  kept for the one-time first-face orientation test
       sign     [T, 4]   kept for the one-time first-tet selection
 
@@ -210,20 +215,20 @@ def _march_tables(verts, faces, tets, tet_faces, face_tets, verts_color,
 
     tet_pack = jnp.concatenate(
         [
-            geo[tf].reshape(T, 48),
+            geo[tf][..., 0:9].reshape(T, 36),  # p0, e1, e2 per slot
             sign,
             tet_faces.astype(jnp.float32),
             nbr.astype(jnp.float32),
-            jnp.zeros((T, 4), jnp.float32),
         ],
         axis=1,
-    )  # [T, 64]
+    )  # [T, 48]
 
     col9 = verts_color[faces].reshape(F, 9)
+    log1ma = jnp.log(jnp.maximum(1.0 - faces_opacity, 1e-37))
     shade = jnp.concatenate(
         [col9, faces_opacity[:, None], faces.astype(jnp.float32),
-         jnp.zeros((F, 3), jnp.float32)], axis=1
-    )  # [F, 16]: col9, alpha, vertex ids (f32-exact)
+         log1ma[:, None], jnp.zeros((F, 2), jnp.float32)], axis=1
+    )  # [F, 16]: col9, alpha, vertex ids (f32-exact), log(1-alpha)
     return {"tet_pack": tet_pack, "shade": shade, "geo": geo, "sign": sign}
 
 
@@ -256,12 +261,12 @@ def _step_through_tet(march, curr_face, curr_tet, ray_o, ray_d, direction):
     marks the reference's invariant violations (cases 1-3).
     """
     ct = jnp.maximum(curr_tet, 0)
-    pack = march["tet_pack"][ct]  # [B, N, 64] -- the step's only gather
+    pack = march["tet_pack"][ct]  # [B, N, 48] -- the step's only gather
     shape = ct.shape
-    geo_j = pack[..., 0:48].reshape(shape + (4, 12))
-    sign_j = pack[..., 48:52]
-    tf = pack[..., 52:56].astype(jnp.int32)  # [B, N, 4] face ids
-    nbr_j = pack[..., 56:60].astype(jnp.int32)
+    geo_j = pack[..., 0:36].reshape(shape + (4, 9))
+    sign_j = pack[..., 36:40]
+    tf = pack[..., 40:44].astype(jnp.int32)  # [B, N, 4] face ids
+    nbr_j = pack[..., 44:48].astype(jnp.int32)
 
     is_entry = tf == curr_face[..., None]
     other = ~is_entry
@@ -271,7 +276,11 @@ def _step_through_tet(march, curr_face, curr_tet, ray_o, ray_d, direction):
     p0j = geo_j[..., 0:3]
     e1j = geo_j[..., 3:6]
     e2j = geo_j[..., 6:9]
-    nhat_j = geo_j[..., 9:12]
+    # unit normal recomputed with the exact op order of _march_tables'
+    # precompute (bit-identical; auxiliary.h:366-369)
+    n_j = jnp.cross(e1j, e2j)
+    norm_j = jnp.maximum(jnp.sqrt(jnp.sum(n_j * n_j, axis=-1)), 1e-4)
+    nhat_j = n_j / norm_j[..., None]
     outdot_j = sign_j * jnp.sum(nhat_j * ray_d[..., None, :], axis=-1)
 
     # entry-face normal orientation check (error case 2, forward.cu:704-717):
@@ -295,18 +304,14 @@ def _step_through_tet(march, curr_face, curr_tet, ray_o, ray_d, direction):
     )
     sel = jnp.max(jnp.where(exit_j, jidx, -1), axis=-1)
     sel_safe = jnp.maximum(sel, 0)
-    next_face = jnp.take_along_axis(tf, sel_safe[..., None], axis=-1)[..., 0]
-    next_t = jnp.take_along_axis(
-        tuv[..., 0], sel_safe[..., None], axis=-1)[..., 0]
-    next_u = jnp.take_along_axis(
-        tuv[..., 1], sel_safe[..., None], axis=-1)[..., 0]
-    next_v = jnp.take_along_axis(
-        tuv[..., 2], sel_safe[..., None], axis=-1)[..., 0]
+    next_face = _select4(tf, sel_safe)
+    next_t = _select4(tuv[..., 0], sel_safe)
+    next_u = _select4(tuv[..., 1], sel_safe)
+    next_v = _select4(tuv[..., 2], sel_safe)
 
     # the other tet across next_face (forward.cu:761-768), precomputed in
     # the table: nbr[ct, j] = first face_tets entry != ct and != -1
-    next_tet = jnp.take_along_axis(
-        nbr_j, sel_safe[..., None], axis=-1)[..., 0]
+    next_tet = _select4(nbr_j, sel_safe)
 
     err = err1 | err2 | err3
     return err, next_face, next_tet, next_t, next_u, next_v
@@ -315,14 +320,25 @@ def _step_through_tet(march, curr_face, curr_tet, ray_o, ray_d, direction):
 def _march_state_gather(march, fi_flat, fbase, curr_face):
     """Per-pixel attributes of the current face: one packed-row gather plus
     the per-view intensity gather (fi_flat: faces_intense flattened to
-    [B*F]; fbase: per-pixel view offset b*F)."""
+    [B*F]; fbase: per-pixel view offset b*F). Returns log(1-alpha) from the
+    table so the transmittance update is transcendental-free."""
     f = jnp.maximum(curr_face, 0)
     row = march["shade"][f]  # [M, 16]
     c = row[..., 0:9].reshape(f.shape + (3, 3))  # [M, 3, 3]
     alpha = row[..., 9]  # [M]
     fv = row[..., 10:13].astype(jnp.int32)  # [M, 3]
+    log1ma = row[..., 13]  # [M]
     inten = fi_flat[fbase + f]  # [M]
-    return fv, c, alpha, inten
+    return fv, c, alpha, inten, log1ma
+
+
+def _select4(x4, sel):
+    """x4[..., sel] per row via arithmetic selects (take_along_axis lowers
+    to a gather; four fused selects are far cheaper inside the march)."""
+    acc = x4[..., 0]
+    for j in range(1, 4):
+        acc = jnp.where(sel == j, x4[..., j], acc)
+    return acc
 
 
 def _projective_ray(ray_o, ray_d, mv_t, proj_t):
@@ -516,6 +532,8 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         C=jnp.zeros((M, 3), jnp.float32),
         D=jnp.zeros((M,), jnp.float32),
         log_T=jnp.zeros((M,), jnp.float32),
+        T_cur=jnp.ones((M,), jnp.float32),  # exp(log_T), carried so each
+                                            # step costs ONE exp, not two
         prev_log_T=jnp.zeros((M,), jnp.float32),
         last_face=jnp.full((M,), jnp.int32(-1)),
         last_tet=jnp.full((M,), jnp.int32(-1)),
@@ -530,7 +548,7 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         cf, ct = s["curr_face"], s["curr_tet"]
 
         # --- 1. blend current face (forward.cu:597-653) ---
-        _fv, c3, alpha, inten = _march_state_gather(
+        _fv, c3, alpha, inten, l1a = _march_state_gather(
             march, fi_flat, cs["fbase"], cf
         )
         col = (
@@ -538,8 +556,7 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
             + (c3[..., 1, :] - c3[..., 0, :]) * s["curr_u"][..., None]
             + (c3[..., 2, :] - c3[..., 0, :]) * s["curr_v"][..., None]
         ) * inten[..., None]
-        tmp_T = jnp.exp(s["log_T"])
-        w = jnp.where(alive, tmp_T * alpha, 0.0)
+        w = jnp.where(alive, s["T_cur"] * alpha, 0.0)
         C = s["C"] + col * w[..., None]
         dep = _depth_at(cs["ph_o"], cs["ph_d"], s["curr_t"])
         D = s["D"] + dep * w
@@ -547,12 +564,13 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         prev_log_T = jnp.where(alive, s["log_T"], s["prev_log_T"])
         log_T_new = jnp.where(
             alpha < 1.0,
-            s["log_T"] + jnp.log(jnp.maximum(1.0 - alpha, 1e-37)),
+            s["log_T"] + l1a,  # log(1-alpha) precomputed in the shade table
             jnp.full_like(s["log_T"], np.log(T_EPS * 0.1)),
         )
         log_T = jnp.where(alive, log_T_new, s["log_T"])
+        T_cur = jnp.exp(log_T)  # the step's single transcendental
 
-        t_exhausted = jnp.exp(log_T) < T_EPS
+        t_exhausted = T_cur < T_EPS
 
         n_contrib = s["n_contrib"] + alive.astype(jnp.int32)
         last_face = jnp.where(alive, cf, s["last_face"])
@@ -583,6 +601,7 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
             C=C,
             D=D,
             log_T=log_T,
+            T_cur=T_cur,
             prev_log_T=prev_log_T,
             last_face=last_face,
             last_tet=last_tet,
@@ -711,7 +730,7 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
         alive = ~s["done"]
         cf, ct = s["curr_face"], s["curr_tet"]
 
-        fv, c3, alpha, inten = _march_state_gather(
+        fv, c3, alpha, inten, l1a = _march_state_gather(
             march, fi_flat, cs["fbase"], cf
         )
         i1 = s["curr_u"]
@@ -724,10 +743,11 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
         ) * inten[..., None]
         dep = _depth_at(cs["ph_o"], cs["ph_d"], s["curr_t"])
 
-        # reconstruct prev transmittance (backward.cu:273-277)
+        # reconstruct prev transmittance (backward.cu:273-277); log(1-alpha)
+        # comes precomputed from the shade table
         plt = jnp.where(
             alive & ~s["first"],
-            s["prev_log_T"] - jnp.log(jnp.maximum(1.0 - alpha, 1e-37)),
+            s["prev_log_T"] - l1a,
             s["prev_log_T"],
         )
         first = s["first"] & ~alive
