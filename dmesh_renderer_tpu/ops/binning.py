@@ -94,9 +94,21 @@ def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
     ).reshape(-1)
     depth = pre["min_depth" if sort_by == "min_depth" else "depth"]
 
-    pk = packed[bf]
+    # one [kcap, 2] row gather instead of two 1-D gathers (TPU gathers are
+    # issue-overhead-bound); the depth travels as its i32 bit pattern and
+    # is bitcast back (non-negative floats round-trip exactly)
+    meta = jnp.stack(
+        [packed, lax.bitcast_convert_type(depth.reshape(-1), jnp.int32)],
+        axis=-1,
+    )  # [B*F, 2]
+    rows = meta[bf]
+    pk = rows[..., 0]
     k = slots - excl[bf]
-    dkey = jnp.where(in_range, depth.reshape(-1)[bf], jnp.float32(2.0))
+    dkey = jnp.where(
+        in_range,
+        lax.bitcast_convert_type(rows[..., 1], jnp.float32),
+        jnp.float32(2.0),
+    )
 
     rx = pk & 0x3FF
     ry = (pk >> 10) & 0x3FF

@@ -74,10 +74,14 @@ TILE = 32          # pixels per tile side; 32*32 = 1024 = 8*128 VPU block
 PSUB, PLANE = 8, 128
 SLAB = 32          # faces per HBM->SMEM DMA slab (sized to scalar memory)
 NA = 128           # attr columns per slot (lane-dim, must be 128)
-NG = 128           # gradient-record columns per slot (24 used; Mosaic
-                   # requires 128-lane-aligned HBM DMA slices, so narrower
-                   # record rows do not lower -- and the extra DMA width is
-                   # ~1 ms of HBM bandwidth at bench scale)
+NG = 128           # gradient-record HBM row width (Mosaic requires
+                   # 128-lane-aligned DMA slices, so narrower rows do not
+                   # lower). Four 32-column records pack into each row --
+                   # SMEM scalar stores take arbitrary dynamic lane offsets
+                   # -- which keeps the DMA aligned while cutting the
+                   # record traffic (write + reduction read) 4x.
+REC_PER_ROW = 4    # records per 128-lane HBM row
+REC_COLS = NG // REC_PER_ROW  # = 32 columns per record (24 used)
 
 # Attr column layouts. Mosaic only supports dynamic indexing on the sublane
 # dim, so slots are rows and attrs are static lane columns; lane width is
@@ -478,7 +482,8 @@ def _bwd_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
 
         def zero_row(j):
             for col in range(NG_USED):
-                grec[j, col] = 0.0
+                grec[j // REC_PER_ROW, (j % REC_PER_ROW) * REC_COLS + col] \
+                    = 0.0
 
         # tail rows (alignment padding / beyond-max_nc faces) -> zero records
         def tail_body(j, carry):
@@ -512,8 +517,9 @@ def _bwd_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
         st = (T, first, la, lr, lg, lb, ld, ar, ag, ab, ad)
         st = lax.fori_loop(0, rem, face_body, st)
 
+        r0 = pl.multiple_of(s0 // REC_PER_ROW, SLAB // REC_PER_ROW)
         cg_dma = pltpu.make_async_copy(
-            grec, grec_hbm.at[pl.ds(s0, SLAB), :], semg)
+            grec, grec_hbm.at[pl.ds(r0, SLAB // REC_PER_ROW), :], semg)
         cg_dma.start()
         cg_dma.wait()
 
@@ -650,7 +656,8 @@ def _bwd_face_heavy(st, fs, active, a, i0, i1, i2, code, grec, j,
     gp0z = -gp1z - gp2z - gtz
 
     def put(col, val):
-        grec[j, col] = jnp.sum(val)
+        grec[j // REC_PER_ROW, (j % REC_PER_ROW) * REC_COLS + col] \
+            = jnp.sum(val)
 
     put(_G_ALPHA, dalpha)
     vals_p = (gp0x, gp0y, gp0z, gp1x, gp1y, gp1z, gp2x, gp2y, gp2z)
@@ -693,17 +700,17 @@ def _run_bwd_kernel(starts, ends, attr_f, attr_i, rayd_t, pix_t, fwd_t,
         scratch_shapes=[
             pltpu.SMEM((SLAB, NA), jnp.float32),
             pltpu.SMEM((SLAB, NA), jnp.int32),
-            pltpu.SMEM((SLAB, NG), jnp.float32),
+            pltpu.SMEM((SLAB // REC_PER_ROW, NG), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    grec_init = jnp.zeros((cap, NG), jnp.float32)
+    grec_init = jnp.zeros((cap // REC_PER_ROW, NG), jnp.float32)
     return pl.pallas_call(
         _bwd_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cap, NG), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cap // REC_PER_ROW, NG), jnp.float32),
         # arg 8 = grec_init (indices count the scalar-prefetch args too)
         input_output_aliases={8: 0},
         interpret=_interpret(),
@@ -879,8 +886,9 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
     )  # [B, H, W, 5]
     gin_t = _tileify(gin, B, height, width, gx, gy)
 
-    rec = _run_bwd_kernel(keys.starts, keys.ends, attr_f, attr_i, rayd_t,
-                          pix_t, fwd_state_t, gin_t, n_tiles, cap)
+    rec4 = _run_bwd_kernel(keys.starts, keys.ends, attr_f, attr_i, rayd_t,
+                           pix_t, fwd_state_t, gin_t, n_tiles, cap)
+    rec = rec4.reshape(cap, REC_COLS)  # un-pack: 4 records per 128-lane row
 
     # Reduce per-slot records to per-(view, face) gradients with ONE
     # deterministic segment scatter-add keyed by the slot's (view, face) id
@@ -904,13 +912,15 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
     g_fopacity = jnp.sum(face_g[..., _G_ALPHA], axis=0)  # [F]
     g_fintense = face_g[..., _G_IN]  # [B, F], no reduction needed
 
+    # verts + vcolor share the faces index: one fused scatter-add
     gp = jnp.sum(face_g[..., _G_P:_G_P + 9], axis=0).reshape(F, 3, 3)
-    g_verts = jnp.zeros((P, 3), jnp.float32).at[faces].add(gp)
-
     gvc = jnp.sum(
         face_g[..., _G_VC:_G_VC + 9] * inten_bf[..., None], axis=0
     ).reshape(F, 3, 3)
-    g_vcolor = jnp.zeros((P, 3), jnp.float32).at[faces].add(gvc)
+    acc = jnp.zeros((P, 6), jnp.float32).at[faces].add(
+        jnp.concatenate([gp, gvc], axis=-1))
+    g_verts = acc[:, :3]
+    g_vcolor = acc[:, 3:]
 
     gvd = face_g[..., _G_VD:_G_VD + 3]  # [B, F, 3]
     b_idx = jnp.arange(B, dtype=jnp.int32)
