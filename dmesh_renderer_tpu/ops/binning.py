@@ -151,6 +151,37 @@ def default_key_capacity(B: int, F: int, avg_tiles_per_face: int = 16) -> int:
     return ((kcap + 127) // 128) * 128
 
 
+def overflow_warning(overflow: Array, total: Array, kcap: int,
+                     context: str) -> None:
+    """Runtime key-capacity overflow warning (non-silent geometry drops;
+    the CUDA reference sizes its buffer exactly, rasterizer_impl.cu:287-299,
+    and can never drop).
+
+    Emitted through jax.debug.print on backends that support host callbacks.
+    The axon remote runtime does not (probed: UNIMPLEMENTED host send/recv;
+    it reports platform "tpu" and is only identifiable by its
+    platform_version string) -- there the warning is skipped and callers
+    must observe the flag as data (render_tri(..., return_aux=True) or
+    utils.diagnostics.tri_render_stats)."""
+    try:
+        version = getattr(jax.devices()[0].client, "platform_version", "")
+    except Exception:
+        version = ""
+    if "axon" in version.lower():
+        return
+
+    def warn(t):
+        jax.debug.print(
+            "dmesh_renderer_tpu WARNING (" + context + "): tile-binning key "
+            "capacity overflow ({t} (face, tile) pairs emitted > capacity "
+            + str(kcap) + "). Keys are dropped in emission order: the "
+            "highest (view, face) indices lose their tiles. Raise the key "
+            "capacity.",
+            t=t)
+
+    lax.cond(overflow, warn, lambda t: None, total)
+
+
 class AlignedKeys(NamedTuple):
     """Key table re-laid-out so every tile's slot range starts on a slab
     boundary (needed by the Pallas kernels: DMA windows are slab-aligned and

@@ -474,7 +474,11 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         from .binning import default_key_capacity
         from .tet_first_hit import first_intersection_binned
 
-        kcap = default_key_capacity(B, faces.shape[0])
+        # Tet faces live at tessellation-cell scale: a few 32px tiles each
+        # (vs 16 for the tri default, sized for large splats). The first-hit
+        # sort/gather chain scales with this capacity; overflow is surfaced
+        # by a debug warning inside first_intersection_binned.
+        kcap = default_key_capacity(B, faces.shape[0], avg_tiles_per_face=8)
         first_face, rt, iu, iv = first_intersection_binned(
             verts, faces, pre, img, inv_mv_t[:, 3, :3], ray_d_img,
             height, width, B, kcap,

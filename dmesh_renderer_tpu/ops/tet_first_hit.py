@@ -21,7 +21,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binning import align_to_slabs, aligned_capacity, emit_and_sort
+from .binning import (
+    align_to_slabs, aligned_capacity, emit_and_sort, overflow_warning,
+)
 from .tri_binned import (
     NA,
     PLANE,
@@ -181,6 +183,8 @@ def first_intersection_binned(verts, faces, pre, img, cam_o, ray_d,
     cap = aligned_capacity(kcap, n_tiles, SLAB)
 
     raw = emit_and_sort(pre, gx, gy, kcap, sort_by="min_depth")
+    overflow_warning(raw.overflow, raw.total, kcap,
+                     "tet first hit; a dropped face cannot be hit")
     keys = align_to_slabs(raw, n_tiles, SLAB, cap, faces.shape[0])
 
     F = faces.shape[0]

@@ -777,31 +777,10 @@ def _render_binned_impl(verts, faces, verts_color, faces_opacity, mv_t,
 # =============================================================================
 
 def _overflow_warning(keys: AlignedKeys, kcap: int) -> None:
-    """Runtime overflow warning (non-silent drops, rasterizer_impl.cu:287-299
-    never drops -- it resizes exactly).
+    from .binning import overflow_warning
 
-    Emitted through jax.debug.print on backends that support host callbacks;
-    the axon remote runtime does not (probed: UNIMPLEMENTED host send/recv --
-    it reports platform "tpu" and is only identifiable by its
-    platform_version string), so there the warning is skipped and callers
-    must use ``with_aux=True`` or utils.diagnostics.tri_render_stats to
-    observe the overflow flag."""
-    try:
-        version = getattr(jax.devices()[0].client, "platform_version", "")
-    except Exception:
-        version = ""
-    if "axon" in version.lower():
-        return
-
-    def warn(t):
-        jax.debug.print(
-            "dmesh_renderer_tpu WARNING: tile-binning key capacity overflow "
-            "({t} (face, tile) pairs emitted > key capacity {k}). Keys are "
-            "dropped in emission order: the highest (view, face) indices "
-            "lose their tiles. Raise TriRenderSettings.key_capacity.",
-            t=t, k=kcap)
-
-    lax.cond(keys.overflow, warn, lambda t: None, keys.total)
+    overflow_warning(keys.overflow, keys.total, kcap,
+                     "render_tri_binned; raise TriRenderSettings.key_capacity")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
