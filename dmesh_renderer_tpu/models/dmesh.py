@@ -158,6 +158,131 @@ def init_train_state(scene: TriScene,
     return TrainState(scene, None, optimizer.init(scene))
 
 
+# =============================================================================
+# Tet-renderer optimization (the DMesh method's second phase: exact-depth
+# rendering through the tessellation; gradients flow to vertex colors and
+# face opacities only, render.h:84-111)
+# =============================================================================
+
+class TetScene(NamedTuple):
+    """Learnable tet-scene parameters (the only differentiable inputs of the
+    tet renderer)."""
+    verts_color: Array    # [P, 3]
+    faces_opacity: Array  # [F]
+
+
+class TetGeometry(NamedTuple):
+    """Static tessellation structure (verts are NOT differentiated by the
+    tet renderer; reference dmesh_renderer/__init__.py:447)."""
+    verts: Array       # [P, 3]
+    faces: Array       # [F, 3]
+    tets: Array        # [T, 4]
+    face_tets: Array   # [F, 2]
+    tet_faces: Array   # [T, 4]
+
+
+class TetViewBatch(NamedTuple):
+    """Per-view inputs (leading axis = views; shardable)."""
+    mv_t: Array           # [B, 4, 4]
+    proj_t: Array         # [B, 4, 4]
+    inv_mv_t: Array       # [B, 4, 4]
+    inv_proj_t: Array     # [B, 4, 4]
+    faces_intense: Array  # [B, F]
+    target: Array         # [B, 3, H, W]
+
+
+def make_tet_se_fn(geom: TetGeometry, bg: Array, height: int, width: int,
+                   seed: int = 0):
+    """Masked squared error + active count: inactive pixels (walk failures /
+    misses) render pure background and are excluded from the loss, mirroring
+    how DMesh consumes the reference's active mask (thresholded at
+    __init__.py:333). Returns the UNNORMALIZED (sum, count) so the sharded
+    path can psum numerator and denominator separately -- per-view active
+    counts differ, so a pmean of per-shard masked means would not equal the
+    global masked mean."""
+    from ..ops.tet import render_tet_core
+
+    def se_fn(scene: TetScene, batch: TetViewBatch):
+        color, _depth, active = render_tet_core(
+            geom.verts, geom.faces, scene.verts_color, scene.faces_opacity,
+            batch.mv_t, batch.proj_t, batch.inv_mv_t, batch.inv_proj_t,
+            batch.faces_intense, geom.tets, geom.face_tets, geom.tet_faces,
+            bg, height, width, seed,
+        )
+        m = active[:, None, :, :].astype(jnp.float32)
+        se = jnp.sum(m * (color - batch.target) ** 2)
+        return se, jnp.sum(m) * 3.0
+
+    return se_fn
+
+
+def make_tet_train_step(optimizer: optax.GradientTransformation,
+                        geom: TetGeometry, bg: Array, height: int,
+                        width: int, mesh=None, seed: int = 0):
+    """Jitted tet-scene train step; with ``mesh``, views are sharded under
+    shard_map exactly like the tri path."""
+    se_fn = make_tet_se_fn(geom, bg, height, width, seed)
+
+    def normalize(se, cnt, grads):
+        denom = jnp.maximum(cnt, 1.0)
+        return se / denom, jax.tree.map(lambda g: g / denom, grads)
+
+    if mesh is None:
+        def step(state: TrainState, batch: TetViewBatch):
+            (se, cnt), grads = jax.value_and_grad(se_fn, has_aux=True)(
+                state.scene, batch)
+            loss, grads = normalize(se, cnt, grads)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.scene
+            )
+            scene = optax.apply_updates(state.scene, updates)
+            return TrainState(scene, state.view_params, opt_state), loss
+
+        return jax.jit(step)
+
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    def local_vg(scene: TetScene, batch: TetViewBatch):
+        (se, cnt), grads = jax.value_and_grad(se_fn, has_aux=True)(
+            scene, batch)
+        se = lax.psum(se, VIEW_AXIS)
+        cnt = lax.psum(cnt, VIEW_AXIS)
+        grads = jax.tree.map(lambda g: lax.psum(g, VIEW_AXIS), grads)
+        return se, cnt, grads
+
+    sharded_vg = jax.shard_map(
+        local_vg, mesh=mesh,
+        in_specs=(P(), P(VIEW_AXIS)), out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    def step(state: TrainState, batch: TetViewBatch):
+        se, cnt, grads = sharded_vg(state.scene, batch)
+        loss, grads = normalize(se, cnt, grads)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.scene
+        )
+        scene = optax.apply_updates(state.scene, updates)
+        return TrainState(scene, state.view_params, opt_state), loss
+
+    rep = replicated(mesh)
+    vs = view_sharding(mesh)
+    state_sh = TrainState(TetScene(rep, rep), None, rep)
+    batch_sh = TetViewBatch(*([vs] * 6))
+    return jax.jit(
+        step,
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, rep),
+    )
+
+
+def init_tet_train_state(scene: TetScene,
+                         optimizer: optax.GradientTransformation
+                         ) -> TrainState:
+    return TrainState(scene, None, optimizer.init(scene))
+
+
 def make_train_loop(optimizer: optax.GradientTransformation, faces: Array,
                     bg: Array, height: int, width: int, n_steps: int,
                     mesh=None, force: str | None = None,

@@ -153,7 +153,7 @@ def _first_intersection(verts, faces, valid, order, ray_o, ray_d):
 # =============================================================================
 
 def _march_tables(verts, faces, tets, tet_faces, face_tets, verts_color,
-                  faces_opacity):
+                  faces_opacity, faces_intense):
     """Precomputed march-time tables.
 
     The per-step connectivity walk needs face geometry, orientation,
@@ -174,12 +174,13 @@ def _march_tables(verts, faces, tets, tet_faces, face_tets, verts_color,
                         slot) instead of per pixel per step); face ids[4]
                         and neighbor tet ids[4] stored as exact float32
                         (ids < 2^24)
-      shade    [F, 16]  col9 (3 vertex colors), alpha, fv[3] vertex ids
+      shade [B*F, 16]   col9 (3 vertex colors), alpha, fv[3] vertex ids
                         (f32-exact; gradients are hand-written in the
                         custom_vjp backward, so packing traced values is
                         sound), log(max(1-alpha, 1e-37)) -- precomputed so
                         the march's log-transmittance update needs no
-                        per-step transcendental
+                        per-step transcendental -- and the per-view face
+                        intensity, so each step does ONE shading gather
       geo      [F, 12]  kept for the one-time first-face orientation test
       sign     [T, 4]   kept for the one-time first-tet selection
 
@@ -225,10 +226,19 @@ def _march_tables(verts, faces, tets, tet_faces, face_tets, verts_color,
 
     col9 = verts_color[faces].reshape(F, 9)
     log1ma = jnp.log(jnp.maximum(1.0 - faces_opacity, 1e-37))
-    shade = jnp.concatenate(
+    B = faces_intense.shape[0]
+    base = jnp.concatenate(
         [col9, faces_opacity[:, None], faces.astype(jnp.float32),
-         log1ma[:, None], jnp.zeros((F, 2), jnp.float32)], axis=1
-    )  # [F, 16]: col9, alpha, vertex ids (f32-exact), log(1-alpha)
+         log1ma[:, None]], axis=1
+    )  # [F, 14]: col9, alpha, vertex ids (f32-exact), log(1-alpha)
+    shade = jnp.concatenate(
+        [
+            jnp.broadcast_to(base[None], (B, F, 14)),
+            faces_intense[..., None],
+            jnp.zeros((B, F, 1), jnp.float32),
+        ],
+        axis=-1,
+    ).reshape(B * F, 16)
     return {"tet_pack": tet_pack, "shade": shade, "geo": geo, "sign": sign}
 
 
@@ -317,18 +327,18 @@ def _step_through_tet(march, curr_face, curr_tet, ray_o, ray_d, direction):
     return err, next_face, next_tet, next_t, next_u, next_v
 
 
-def _march_state_gather(march, fi_flat, fbase, curr_face):
-    """Per-pixel attributes of the current face: one packed-row gather plus
-    the per-view intensity gather (fi_flat: faces_intense flattened to
-    [B*F]; fbase: per-pixel view offset b*F). Returns log(1-alpha) from the
-    table so the transmittance update is transcendental-free."""
+def _march_state_gather(march, fbase, curr_face):
+    """Per-pixel attributes of the current face: ONE packed-row gather from
+    the per-(view, face) shade table (fbase: per-pixel view offset b*F).
+    Returns log(1-alpha) from the table so the transmittance update is
+    transcendental-free."""
     f = jnp.maximum(curr_face, 0)
-    row = march["shade"][f]  # [M, 16]
+    row = march["shade"][fbase + f]  # [M, 16]
     c = row[..., 0:9].reshape(f.shape + (3, 3))  # [M, 3, 3]
     alpha = row[..., 9]  # [M]
     fv = row[..., 10:13].astype(jnp.int32)  # [M, 3]
     log1ma = row[..., 13]  # [M]
-    inten = fi_flat[fbase + f]  # [M]
+    inten = row[..., 14]  # [M]
     return fv, c, alpha, inten, log1ma
 
 
@@ -373,6 +383,10 @@ def _depth_at(ph_o, ph_d, t):
 # The lockstep march pays every surviving iteration over the full pixel
 # buffer, but transmittance kills most rays within a few face crossings --
 # only silhouette-grazing rays walk far. Phase sizes shrink by this factor.
+# Measured at 98k faces / 800px: 8 beats 2 (1155 vs 1239 ms fwd+bwd) -- the
+# per-iteration alive-count check and extra compaction rounds of finer
+# phases cost more than the width they save, because done lanes re-gather
+# clamped (cached) rows and are cheap.
 COMPACT_SHRINK = 8
 # Below this buffer size compaction is pure overhead (also keeps the tiny
 # CPU test scenes on the single-phase path).
@@ -491,7 +505,7 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         )
 
     march = _march_tables(verts, faces, tets, tet_faces, face_tets,
-                          verts_color, faces_opacity)
+                          verts_color, faces_opacity, faces_intense)
     ph_o, ph_d = _projective_ray(ray_o, ray_d, mv_t, proj_t)
 
     # starting tet: the side whose outward first-face normal opposes the ray
@@ -520,7 +534,6 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
     M = B * N
     F = faces.shape[0]
     flat = lambda x: x.reshape((M,) + x.shape[2:])
-    fi_flat = faces_intense.reshape(-1)  # [B*F]
     fbase = (jnp.arange(M, dtype=jnp.int32) // N) * F
 
     consts = dict(
@@ -553,7 +566,7 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
 
         # --- 1. blend current face (forward.cu:597-653) ---
         _fv, c3, alpha, inten, l1a = _march_state_gather(
-            march, fi_flat, cs["fbase"], cf
+            march, cs["fbase"], cf
         )
         col = (
             c3[..., 0, :]
@@ -658,7 +671,7 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
     N = height * width
 
     march = _march_tables(verts, faces, tets, tet_faces, face_tets,
-                          verts_color, faces_opacity)
+                          verts_color, faces_opacity, faces_intense)
 
     ray_o, ray_d = generate_rays(
         inv_mv_t, inv_proj_t, width, height, norm_eps_mode="tet",
@@ -699,7 +712,6 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
     # global arrays -- they travel in globals_, untouched by compaction)
     M = B * N
     flat = lambda x: x.reshape((M,) + x.shape[2:])
-    fi_flat = faces_intense.reshape(-1)
     fbase = (jnp.arange(M, dtype=jnp.int32) // N) * F
 
     consts = dict(
@@ -735,7 +747,7 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
         cf, ct = s["curr_face"], s["curr_tet"]
 
         fv, c3, alpha, inten, l1a = _march_state_gather(
-            march, fi_flat, cs["fbase"], cf
+            march, cs["fbase"], cf
         )
         i1 = s["curr_u"]
         i2 = s["curr_v"]

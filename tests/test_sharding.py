@@ -126,3 +126,64 @@ def test_train_loop_scan(setup):
     losses = np.array(losses)
     assert losses.shape == (5,)
     assert losses[-1] < losses[0]
+
+
+def test_tet_sharded_step_matches_single_device():
+    """Tet-scene training (vcolor + fopacity) sharded 8-way under shard_map
+    must match the single-device step: the masked loss psums numerator and
+    denominator separately, so differing per-view active counts stay
+    correct."""
+    from dmesh_renderer_tpu.models.dmesh import (
+        TetGeometry, TetScene, TetViewBatch, init_tet_train_state,
+        make_tet_train_step,
+    )
+    from dmesh_renderer_tpu.utils.connectivity import (
+        build_tet_connectivity, freudenthal_grid,
+    )
+
+    Ht = Wt = 16
+    Bt = 8
+    verts, tets = freudenthal_grid(2, jitter=0.05, seed=9)
+    faces, face_tets, tet_faces = build_tet_connectivity(tets)
+    rng = np.random.RandomState(1)
+    geom = TetGeometry(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(tets),
+        jnp.asarray(face_tets), jnp.asarray(tet_faces),
+    )
+    scene = TetScene(
+        jnp.asarray(rng.rand(verts.shape[0], 3).astype(np.float32)),
+        jnp.asarray(rng.uniform(0.3, 0.9, faces.shape[0]).astype(np.float32)),
+    )
+    mv, proj = scenes.ring_cameras(Bt, radius=3.0)
+    mv_t = np.swapaxes(mv, 1, 2).copy()
+    proj_t = np.swapaxes(proj, 1, 2).copy()
+    batch = TetViewBatch(
+        jnp.asarray(mv_t), jnp.asarray(proj_t),
+        jnp.asarray(np.linalg.inv(mv_t)), jnp.asarray(np.linalg.inv(proj_t)),
+        jnp.asarray(rng.uniform(0.5, 1.0,
+                                (Bt, faces.shape[0])).astype(np.float32)),
+        jnp.full((Bt, 3, Ht, Wt), 0.4, jnp.float32),
+    )
+    bg = jnp.zeros(3, jnp.float32)
+    optimizer = optax.sgd(1e-2)
+
+    step1 = make_tet_train_step(optimizer, geom, bg, Ht, Wt, mesh=None)
+    st1, loss1 = step1(init_tet_train_state(scene, optimizer), batch)
+
+    mesh = make_view_mesh(8)
+    step8 = make_tet_train_step(optimizer, geom, bg, Ht, Wt, mesh=mesh)
+    st8, loss8 = step8(init_tet_train_state(scene, optimizer),
+                       shard_view_batch(mesh, batch))
+
+    assert np.isfinite(float(loss1)) and float(loss1) > 0
+    # per-shard partial sums reassociate the f32 reduction: 2e-5 budget
+    assert np.isclose(float(loss1), float(loss8), rtol=2e-5)
+    for a, b in zip(st1.scene, st8.scene):
+        np.testing.assert_allclose(np.array(a), np.array(b), rtol=2e-5,
+                                   atol=1e-7)
+
+    # and training makes progress
+    st = st8
+    for _ in range(5):
+        st, loss = step8(st, shard_view_batch(mesh, batch))
+    assert float(loss) < float(loss8)
