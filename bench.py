@@ -40,7 +40,11 @@ def _build(n_tris, n_views, height, width, seed=0):
 
 
 def bench_tri_scaled(n_tris=100_000, height=800, width=800, n_views=1,
-                     iters=3, kcap=1_600_000, chain=4):
+                     iters=3, kcap=1_408_000, chain=4):
+    # kcap: the bench scene emits 1,232,005 (face, tile) pairs (measured;
+    # overflow flag verified False) -- 1.408M gives 14% headroom. Every
+    # prepare/reduce stage scales with this capacity; users size theirs the
+    # same way via render_tri(..., return_aux=True).
     """Fwd+bwd (all five gradients, like the reference backward always
     computes, render.cu:166-171) ms per frame.
 
