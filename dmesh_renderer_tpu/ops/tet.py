@@ -438,10 +438,15 @@ def _compacted_while(per_pixel, globals_, consts, body_fn, max_steps):
         if is_last:
             return pp, gl
 
-        # alive rays first (stable: preserves pixel order); all alive rays
-        # fit because the loop above only exits below the next size (or
-        # fully done / step-capped, in which case deeper phases no-op).
-        idx = jnp.argsort(pp["done"], stable=True)[:sizes[level + 1]]
+        # alive rays first, grouped by their current tet: rays in one tet
+        # step to neighboring tets together, so this ordering makes the
+        # per-step packed-row gathers near-sequential in HBM for the rest
+        # of the march. All alive rays fit because the loop above only
+        # exits below the next size (or fully done / step-capped, in which
+        # case deeper phases no-op).
+        key = jnp.where(pp["done"], jnp.int32(2**30),
+                        jnp.maximum(pp["curr_tet"], 0))
+        idx = jnp.argsort(key, stable=True)[:sizes[level + 1]]
         sub_pp = jax.tree.map(lambda x: x[idx], pp)
         sub_cs = jax.tree.map(lambda x: x[idx], cs)
         sub_pp, gl = run(sub_pp, gl, sub_cs, level + 1)
