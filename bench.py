@@ -23,7 +23,7 @@ import numpy as np
 
 # ms/frame fwd+bwd recorded at the end of round 1 (for vs_baseline tracking)
 # Metric definition: full backward (all 5 gradients, as the reference
-# always computes). Round-1 record below; round-2 value for reference: 130.6.
+# always computes). Round-1 record below; round-2 value for reference: 108.3.
 BENCH_HISTORY_MS = 402.6  # round 1, TPU v5e single chip
 
 

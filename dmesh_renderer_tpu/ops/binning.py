@@ -8,18 +8,36 @@ XLA-native replacement for the reference's host-orchestrated pipeline
                                               overflow indicator (no host sync
                                               under jit)
   duplicateWithKeys kernel                 -> vectorized slot->face inversion
-                                              via searchsorted (each slot
-                                              finds its owning face, instead
-                                              of each face writing its slots)
-  CUB radix sort on packed (tile|depth)    -> lax.sort on (tile_key, depth)
-                                              with num_keys=2, stable
+                                              via boundary-scatter + cummax
+                                              forward fills (each slot derives
+                                              its owning face, instead of each
+                                              face writing its slots)
+  CUB radix sort on packed (tile|depth)    -> per-view *face* pre-sort by
+                                              depth (F-scale, cheap), then a
+                                              single-key stable lax.sort of
+                                              the slots by tile -- within-tile
+                                              depth order comes free from the
+                                              emission order
   identifyTileRanges kernel                -> searchsorted of tile ids over
                                               the sorted keys
 
-Emission order parity: the reference emits keys per face in row-major order
-over the face's tile rect (rasterizer_impl.cu:69-96) and radix sort is
-stable, so equal (tile, depth) keys keep submission order; slots here are
-numbered identically and lax.sort is stable.
+Sort-order parity with the reference: the reference emits keys per face in
+row-major order over the face's tile rect (rasterizer_impl.cu:69-96) and
+stably radix-sorts by (tile, depth), so equal (tile, depth) keys keep
+submission (view-major, face-major) order. Here faces are pre-sorted
+per-view by (depth, face index) -- stable, so equal depths keep face order --
+and slots are stably sorted by tile only; the resulting per-tile sequences
+are identical: (depth, view, face, row-major rect position).
+
+TPU design notes (measured on v5e; see tools/bench_primitives.py): XLA
+gathers and scatters cost ~10 ns per ROW regardless of row width up to
+128 lanes, so per-slot (1.4M-row) gathers are the enemy. This pipeline
+does exactly ONE slot-scale scatter (the slab-aligned placement) and ZERO
+slot-scale gathers: every per-slot quantity (owning face, tile rect, run
+start, alignment shift) is forward-filled by boundary scatters at face or
+tile scale followed by lax.cummax, which is ~20x cheaper than a gather at
+the same size. The global sort itself is cheap (~2.6 ms at 1.4M keys);
+narrow gathers were the real cost of the round-1/2 pipeline.
 """
 
 from __future__ import annotations
@@ -32,21 +50,39 @@ from jax import lax
 
 Array = jax.Array
 
+# The slot->rect forward fill packs (face-emission-rank << 10 | rect chunk)
+# into int32 cummax lanes: the emission rank must fit in 21 bits.
+_MAX_BF = 1 << 21
+
 
 class BinnedKeys(NamedTuple):
-    """Sorted key table at static capacity KCAP."""
-    face: Array       # [KCAP] int32 face id per sorted slot (0 for padding)
-    batch: Array      # [KCAP] int32 view id per sorted slot
+    """Sorted key table at static capacity KCAP.
+
+    ``sorted_id`` indexes the per-view depth-sorted face ordering; ``sigma``
+    maps that ordering back to original (view * F + face) ids. Product code
+    keeps everything in sorted-face space (attr tables are built in sorted
+    order) and un-permutes only F-scale results, so no slot-scale gather is
+    ever needed. ``face``/``batch`` are the original ids per sorted slot --
+    derived via a slot-scale gather, so consume them only in tests and
+    diagnostics (XLA dead-code-eliminates them in the product pipeline).
+    """
+    sorted_id: Array  # [KCAP] int32 depth-sorted (view, face) index per slot
+    sigma: Array      # [B*F] int32 original view*F+face id per sorted index
+    face: Array       # [KCAP] int32 original face id per slot (tests only)
+    batch: Array      # [KCAP] int32 view id per slot (tests only)
     tile_key: Array   # [KCAP] int32 batch*n_tiles + tile_id (BIG for padding)
-    emit: Array       # [KCAP] int32 pre-sort (emission) slot index: slots of
-                      # one (view, face) are contiguous in emission order,
-                      # which lets gradients reduce per face without
-                      # duplicate-index scatters (see tri_binned._b_bwd)
-    offsets: Array    # [B*F + 1] int32 emission offsets per (view, face)
     starts: Array     # [B * n_tiles] int32 slot range start per tile
     ends: Array       # [B * n_tiles] int32 slot range end per tile
     total: Array      # [] int32 number of real (face, tile) pairs emitted
     overflow: Array   # [] bool, True if total > KCAP (keys were dropped)
+
+
+def _fill_from_boundaries(positions: Array, values: Array, kcap: int) -> Array:
+    """Forward-fill: scatter ``values`` at ``positions`` (monotone
+    non-decreasing values required) and cummax-fill the gaps."""
+    marks = jnp.zeros((kcap,), jnp.int32).at[positions].max(
+        values, mode="drop")
+    return lax.cummax(marks)
 
 
 def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
@@ -58,32 +94,37 @@ def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
     sort_by: "depth" (tri renderer) or "min_depth" (tet renderer,
     renderer_impl.cu:318-329).
 
-    TPU notes: the slot -> owning-face inversion is a boundary scatter +
-    cummax (searchsorted at key capacity costs ~20 bisection gathers); the
-    per-slot face metadata (rect origin/width) travels as one bit-packed
-    int gather.
+    Overflow policy (total emitted pairs > kcap): emission is view-major
+    and depth-sorted within each view, so the capacity cut drops the
+    FARTHEST faces of the highest-numbered views first -- the least visible
+    geometry loses. (The CUDA reference sizes its buffer exactly after a
+    device-to-host readback, rasterizer_impl.cu:287-299, and never drops;
+    a static capacity must pick a policy, and farthest-first is the one
+    that degrades most gracefully.) A face straddling the cut keeps the
+    row-major head of its tile rect.
     """
     tiles = pre["tiles"]  # [B, F]
     B, F = tiles.shape
     n_tiles = grid_x * grid_y
+    if B * F >= _MAX_BF:
+        raise ValueError(
+            f"B*F = {B * F} exceeds the 2^21 emission-rank budget of the "
+            "packed forward fill; shard views or faces first")
 
-    flat = tiles.reshape(-1).astype(jnp.int32)  # [B*F]
-    incl = jnp.cumsum(flat)
-    excl = incl - flat
-    total = incl[-1] if flat.size else jnp.int32(0)
+    # --- per-view face pre-sort by depth (F-scale: ~100x cheaper than the
+    # slot-scale sort it replaces as a depth key) ---
+    depth = pre["min_depth" if sort_by == "min_depth" else "depth"]
+    sort_key = jnp.where(tiles > 0, depth, jnp.float32(jnp.inf))
+    iota_f = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None], (B, F))
+    _, sigma_v = lax.sort((sort_key, iota_f), dimension=1, num_keys=1,
+                          is_stable=True)  # [B, F] per-view face order
+    sigma = (sigma_v
+             + jnp.arange(B, dtype=jnp.int32)[:, None] * F).reshape(-1)
 
-    # slot -> face inversion: each emitting face marks its first slot with
-    # its own index; cummax forward-fills ownership (ranges are contiguous
-    # and the first emitting face starts at slot 0).
-    q = jnp.arange(B * F, dtype=jnp.int32)
-    emitting = flat > 0
-    marks = jnp.zeros((kcap,), jnp.int32).at[
-        jnp.where(emitting, excl, kcap)
-    ].max(q, mode="drop")
-    bf = lax.cummax(marks)
-
-    slots = jnp.arange(kcap, dtype=jnp.int32)
-    in_range = slots < total
+    tiles_s = jnp.take_along_axis(tiles, sigma_v, axis=1).reshape(-1)
+    incl = jnp.cumsum(tiles_s)
+    excl = (incl - tiles_s).astype(jnp.int32)
+    total = incl[-1].astype(jnp.int32) if tiles_s.size else jnp.int32(0)
 
     # rect origin (x, y) and width, bit-packed 10+10+10 (grid dims < 1024)
     packed = (
@@ -91,28 +132,34 @@ def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
         | (pre["rect_min"][..., 1].astype(jnp.int32) << 10)
         | (jnp.maximum(
             pre["rect_max"][..., 0] - pre["rect_min"][..., 0], 1) << 20)
-    ).reshape(-1)
-    depth = pre["min_depth" if sort_by == "min_depth" else "depth"]
-
-    # one [kcap, 2] row gather instead of two 1-D gathers (TPU gathers are
-    # issue-overhead-bound); the depth travels as its i32 bit pattern and
-    # is bitcast back (non-negative floats round-trip exactly)
-    meta = jnp.stack(
-        [packed, lax.bitcast_convert_type(depth.reshape(-1), jnp.int32)],
-        axis=-1,
-    )  # [B*F, 2]
-    rows = meta[bf]
-    pk = rows[..., 0]
-    k = slots - excl[bf]
-    dkey = jnp.where(
-        in_range,
-        lax.bitcast_convert_type(rows[..., 1], jnp.float32),
-        jnp.float32(2.0),
     )
+    packed_s = jnp.take_along_axis(packed, sigma_v, axis=1).reshape(-1)
 
-    rx = pk & 0x3FF
-    ry = (pk >> 10) & 0x3FF
-    nx = (pk >> 20) & 0x3FF
+    # --- slot -> face inversion + rect forward fill, gather-free: each
+    # emitting face marks its first slot; cummax fills ownership. The rect
+    # rides along as three 10-bit chunks packed under the emission rank
+    # (rank << 10 | chunk), each monotone in slot order. ---
+    q = jnp.arange(B * F, dtype=jnp.int32)
+    emitting = tiles_s > 0
+    mark_pos = jnp.where(emitting, excl, kcap)
+
+    fill0 = _fill_from_boundaries(
+        mark_pos, (q << 10) | (packed_s & 0x3FF), kcap)
+    fill1 = _fill_from_boundaries(
+        mark_pos, (q << 10) | ((packed_s >> 10) & 0x3FF), kcap)
+    fill2 = _fill_from_boundaries(
+        mark_pos, (q << 10) | ((packed_s >> 20) & 0x3FF), kcap)
+    bf = fill0 >> 10  # [kcap] sorted-space owning face per slot
+    rx = fill0 & 0x3FF
+    ry = fill1 & 0x3FF
+    nx = jnp.maximum(fill2 & 0x3FF, 1)
+
+    # run start per slot (the owning face's first slot), also monotone
+    run_start = _fill_from_boundaries(mark_pos, excl, kcap)
+
+    slots = jnp.arange(kcap, dtype=jnp.int32)
+    in_range = slots < total
+    k = slots - run_start
     tx = rx + k % nx
     ty = ry + k // nx
     tile_id = ty * grid_x + tx
@@ -121,23 +168,23 @@ def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
     b = bf // F
     tile_key = jnp.where(in_range, b * n_tiles + tile_id, big)
 
-    tile_key_s, _d, bf_s, emit_s = lax.sort(
-        (tile_key, dkey, bf, slots), num_keys=2, is_stable=True
-    )
+    # single-key stable sort: within-tile depth order is inherited from the
+    # emission order (faces pre-sorted by depth)
+    tile_key_s, bf_s = lax.sort((tile_key, bf), num_keys=1, is_stable=True)
 
     tids = jnp.arange(B * n_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(tile_key_s, tids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(tile_key_s, tids, side="right").astype(jnp.int32)
 
-    offsets = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.minimum(incl, kcap).astype(jnp.int32)]
-    )
+    # original ids per slot: slot-scale gather -- tests/diagnostics only,
+    # dead-code-eliminated when unused (see class docstring)
+    orig = sigma[bf_s]
     return BinnedKeys(
-        face=(bf_s % F).astype(jnp.int32),
-        batch=(bf_s // F).astype(jnp.int32),
+        sorted_id=bf_s.astype(jnp.int32),
+        sigma=sigma.astype(jnp.int32),
+        face=(orig % F).astype(jnp.int32),
+        batch=(orig // F).astype(jnp.int32),
         tile_key=tile_key_s,
-        emit=emit_s.astype(jnp.int32),
-        offsets=offsets,
         starts=starts,
         ends=ends,
         total=total,
@@ -174,9 +221,8 @@ def overflow_warning(overflow: Array, total: Array, kcap: int,
         jax.debug.print(
             "dmesh_renderer_tpu WARNING (" + context + "): tile-binning key "
             "capacity overflow ({t} (face, tile) pairs emitted > capacity "
-            + str(kcap) + "). Keys are dropped in emission order: the "
-            "highest (view, face) indices lose their tiles. Raise the key "
-            "capacity.",
+            + str(kcap) + "). The FARTHEST faces of the highest view drop "
+            "their tiles first. Raise the key capacity.",
             t=t)
 
     lax.cond(overflow, warn, lambda t: None, total)
@@ -188,13 +234,11 @@ class AlignedKeys(NamedTuple):
     never shared between tiles, which makes the backward kernel's slab
     write-back race-free by construction).
 
-    Deliberately minimal: ``flat`` is the only slot-sized array, built by the
-    single large scatter this stage pays for. (The round-1 layout scattered
-    five slot-sized arrays -- face, batch, live, tile, emit -- costing ~30 ms
-    at 100k tris; everything the pipeline needs is derivable from ``flat`` +
-    the per-tile ranges, and the gradient reduction no longer uses emission
-    slots at all, see tri_binned._b_bwd.)"""
-    flat: Array       # [cap] int32 view*F + face per slot (0 at padding)
+    ``flat`` holds SORTED-space (depth-ordered) face indices; pair it with
+    attr tables built in sorted order and un-permute F-scale results through
+    ``sigma``. It is the pipeline's only slot-sized scatter."""
+    flat: Array       # [cap] int32 sorted-space view*F+face per slot (0 pad)
+    sigma: Array      # [B*F] int32 original id per sorted index
     starts: Array     # [B * n_tiles] int32 (each a multiple of slab)
     ends: Array       # [B * n_tiles] int32
     total: Array      # [] int32 real pairs emitted (pre-padding)
@@ -217,21 +261,26 @@ def align_to_slabs(keys: BinnedKeys, n_tiles_total: int, slab: int,
     )
     new_ends = new_starts + counts
 
-    kcap = keys.face.shape[0]
+    kcap = keys.sorted_id.shape[0]
     slot = jnp.arange(kcap, dtype=jnp.int32)
-    tk = keys.tile_key
-    real = tk < n_tiles_total
-    tk_safe = jnp.minimum(tk, n_tiles_total - 1)
-    # one [kcap] gather of the combined per-tile shift (not two)
-    shift = new_starts - keys.starts  # [NT]
-    pos = slot + shift[tk_safe]
-    pos = jnp.where(real, pos, cap)  # drop padding slots
+    in_range = slot < keys.total
+
+    # per-slot alignment shift, gather-free: shift[t] = new_starts[t] -
+    # starts[t] is a cumsum of non-negative per-tile paddings, hence
+    # non-decreasing in t; slots are tile-sorted, so a boundary scatter at
+    # each tile's first slot + cummax forward-fills it
+    shift = new_starts - keys.starts  # [NT], non-decreasing
+    shift_slot = _fill_from_boundaries(
+        jnp.where(counts > 0, keys.starts, kcap), shift, kcap)
+
+    pos = jnp.where(in_range, slot + shift_slot, cap)
 
     flat = jnp.zeros((cap,), jnp.int32).at[pos].set(
-        keys.batch * n_faces + keys.face, mode="drop", unique_indices=True)
+        keys.sorted_id, mode="drop", unique_indices=True)
 
     return AlignedKeys(
         flat=flat,
+        sigma=keys.sigma,
         starts=new_starts, ends=new_ends,
         total=keys.total, overflow=keys.overflow,
     )

@@ -30,7 +30,7 @@ from .tri_binned import (
     PSUB,
     SLAB,
     TILE,
-    _build_face_tables,
+    _build_face_table,
     _build_slot_attrs,
     _interpret,
     _tileify,
@@ -49,8 +49,8 @@ Array = jax.Array
 _BIG = 3.0e38
 
 
-def _fh_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
-               out_ref, fslab, islab, semf, semi):
+def _fh_kernel(starts_ref, ends_ref, attr_hbm, rayd_ref,
+               out_ref, fslab, semf):
     t_idx = pl.program_id(0)
     start = starts_ref[t_idx]
     end = ends_ref[t_idx]
@@ -84,13 +84,9 @@ def _fh_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
         s, done, bt, bmax, bface, bu, bv = c
         s0 = pl.multiple_of(start + s * SLAB, SLAB)
         cf = pltpu.make_async_copy(
-            attrf_hbm.at[pl.ds(s0, SLAB), :], fslab, semf)
-        ci = pltpu.make_async_copy(
-            attri_hbm.at[pl.ds(s0, SLAB), :], islab, semi)
+            attr_hbm.at[pl.ds(s0, SLAB), :], fslab, semf)
         cf.start()
-        ci.start()
         cf.wait()
-        ci.wait()
 
         rem = jnp.minimum(n - s * SLAB, SLAB)
 
@@ -102,7 +98,7 @@ def _fh_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
             qx, qy, qz = (fslab[j, _QV + k] for k in range(3))
             min_d = fslab[j, _MIND]
             max_d = fslab[j, _MAXD]
-            fid = islab[j, _FID].astype(jnp.float32)
+            fid = fslab[j, _FID]  # stored as an exact float (ids < 2^24)
 
             # depth-window early-out (forward.cu:388-391)
             done = jnp.where((bt < _BIG) & (min_d > bmax),
@@ -144,12 +140,11 @@ def _fh_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
     out_ref[0, 3] = bv
 
 
-def _run_fh_kernel(starts, ends, attr_f, attr_i, rayd_t, n_tiles):
+def _run_fh_kernel(starts, ends, attr_tab, rayd_t, n_tiles):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 3, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -158,8 +153,6 @@ def _run_fh_kernel(starts, ends, attr_f, attr_i, rayd_t, n_tiles):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((SLAB, NA), jnp.float32),
-            pltpu.SMEM((SLAB, NA), jnp.int32),
-            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -168,7 +161,7 @@ def _run_fh_kernel(starts, ends, attr_f, attr_i, rayd_t, n_tiles):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 4, PSUB, PLANE), jnp.float32),
         interpret=_interpret(),
-    )(starts, ends, attr_f, attr_i, rayd_t)
+    )(starts, ends, attr_tab, rayd_t)
 
 
 def first_intersection_binned(verts, faces, pre, img, cam_o, ray_d,
@@ -189,16 +182,16 @@ def first_intersection_binned(verts, faces, pre, img, cam_o, ray_d,
 
     F = faces.shape[0]
     P = verts.shape[0]
-    face_f, face_i = _build_face_tables(
+    face_tab = _build_face_table(
         verts, faces, jnp.zeros((P, 3), jnp.float32),
         jnp.zeros((F,), jnp.float32), jnp.zeros((B, P), jnp.float32),
         jnp.zeros((B, F), jnp.float32), img, cam_o,
         min_depth=pre["min_depth"], max_depth=pre["max_depth"],
     )
-    attr_f, attr_i = _build_slot_attrs(face_f, face_i, keys)
+    attr_tab = _build_slot_attrs(face_tab, keys)
 
     rayd_t = _tileify(ray_d, B, height, width, gx, gy)
-    out = _run_fh_kernel(keys.starts, keys.ends, attr_f, attr_i, rayd_t,
+    out = _run_fh_kernel(keys.starts, keys.ends, attr_tab, rayd_t,
                          n_tiles)
     res = _untile(out, B, height, width, gx, gy)  # [B, H, W, 4]
     N = height * width

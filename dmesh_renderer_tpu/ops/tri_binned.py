@@ -22,11 +22,12 @@ submission order) sort and per-pixel coverage (see tri_oracle docstring),
 the tile size is a pure performance knob: 32x32 fills the 8x128 VPU shape.
 Rendered images match the oracle path up to float summation order.
 
-Memory layout: per-slot attributes live in [cap, 128] f32 + i32 tables.
-Slots are rows because Mosaic only supports dynamic indexing on the sublane
-dimension; attr columns are static lane offsets. Per-tile slot ranges are
-slab-aligned (binning.align_to_slabs) so DMA windows are tile-exclusive --
-which also makes the backward's slab write-back race-free.
+Memory layout: per-slot attributes live in ONE [cap, 128] f32 table (int
+attributes ride in f32-exact encodings; see the column-layout comment
+below). Slots are rows because Mosaic only supports dynamic indexing on the
+sublane dimension; attr columns are static lane offsets. Per-tile slot
+ranges are slab-aligned (binning.align_to_slabs) so DMA windows are
+tile-exclusive -- which also makes the backward's slab write-back race-free.
 
 Per-slot precomputation moves all per-face constants out of the kernel:
   * coverage edge functions s_e = A_e*px + B_e*py + C_e in 16x16-subpixel
@@ -83,20 +84,28 @@ NG = 128           # gradient-record HBM row width (Mosaic requires
 REC_PER_ROW = 4    # records per 128-lane HBM row
 REC_COLS = NG // REC_PER_ROW  # = 32 columns per record (24 used)
 
-# Attr column layouts. Mosaic only supports dynamic indexing on the sublane
-# dim, so slots are rows and attrs are static lane columns; lane width is
-# fixed at 128 (the table is sparse on purpose -- DMA time is negligible
-# next to the per-face compute, only HBM capacity pays).
-# float table:
+# Attr column layout: ONE [*, 128] f32 table per slot. Mosaic only supports
+# dynamic indexing on the sublane dim, so slots are rows and attrs are
+# static lane columns; lane width is fixed at 128. Slot-scale gathers cost
+# ~10 ns per ROW regardless of width (tools/bench_primitives.py), so packing
+# everything into a single row halves both the gather and the slab-DMA
+# count vs the round-1/2 split f32 + i32 tables.
+#
+# Integer attributes ride in f32 columns: the int32 edge coefficients
+# (which exceed f32's 2^24 integer range) are split into an arithmetic
+# high part (A >> 12, always f32-exact) and a low part (A & 0xFFF) and
+# reassembled with scalar int ops in-kernel (Mosaic supports scalar f32->
+# i32 converts, but not scalar bitcasts); small ints (flag, face id) are
+# stored directly as exact floats.
 _TV, _E1, _E2, _QV = 0, 3, 6, 9
 _C0 = 12           # c0 rgb, c1 rgb, c2 rgb
 _D0 = 21           # d0 d1 d2
 _ALPHA, _INTEN = 24, 25
 _MIND, _MAXD = 26, 27  # per-face min/max depth keys (tet first-hit window)
-# int table:
-_EDGE = 0          # A1 B1 C1 A2 B2 C2 A3 B3 C3
-_NONDEG = 9
-_FID = 10          # face id (tet first-hit output)
+_EH = 28           # edge coeff high parts (A >> 12), 9 cols
+_EL = 37           # edge coeff low parts (A & 0xFFF), 9 cols
+_NONDEG = 46       # 0.0 / 1.0 flag
+_FID = 47          # face id (tet first-hit output; ids < 2^24)
 
 NG_USED = 24       # gradient-record columns actually written
 
@@ -116,11 +125,11 @@ def _interpret() -> bool:
 # XLA-side slot attribute construction
 # =============================================================================
 
-def _build_face_tables(verts, faces, verts_color, faces_opacity,
-                       verts_depth, faces_intense, img, cam_o,
-                       min_depth=None, max_depth=None):
-    """Per-(view, face) attr tables at [B*F, NA] -- built at face scale
-    (cheap), then expanded to slots with a single row gather each.
+def _build_face_table(verts, faces, verts_color, faces_opacity,
+                      verts_depth, faces_intense, img, cam_o,
+                      min_depth=None, max_depth=None):
+    """Per-(view, face) attr table at [B*F, NA] -- built at face scale
+    (cheap), then expanded to slots with a single row gather.
 
     min_depth/max_depth: optional [B, F] depth-window keys (tet first-hit)."""
     B = cam_o.shape[0]
@@ -177,21 +186,33 @@ def _build_face_tables(verts, faces, verts_color, faces_opacity,
     A3, B3, C3 = edge(x3s, y3s, x1, y1)
 
     fid = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None], (B, F))
-    icols = jnp.stack(
-        [A1, B1, C1, A2, B2, C2, A3, B3, C3,
-         (area != 0).astype(jnp.int32), fid], axis=-1
-    )  # [B, F, 11] (_EDGE.._FID)
+    edges = jnp.stack([A1, B1, C1, A2, B2, C2, A3, B3, C3], axis=-1)
+    # split-halves f32 encoding: A == (A >> 12) * 4096 + (A & 0xFFF) for any
+    # int32; both halves are f32-exact (|A >> 12| < 2^19, low in [0, 4096))
+    icols = jnp.concatenate(
+        [
+            (edges >> 12).astype(jnp.float32),
+            (edges & 0xFFF).astype(jnp.float32),
+            (area != 0).astype(jnp.float32)[..., None],
+            fid.astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )  # [B, F, 20] (_EH.._FID)
 
     nf = fcols.shape[-1]
-    ni = icols.shape[-1]
-    face_f = jnp.pad(fcols.reshape(B * F, nf), ((0, 0), (0, NA - nf)))
-    face_i = jnp.pad(icols.reshape(B * F, ni), ((0, 0), (0, NA - ni)))
-    return face_f, face_i
+    fcols = jnp.pad(fcols, ((0, 0), (0, 0), (0, _EH - nf)))  # ints at _EH
+    cols = jnp.concatenate([fcols, icols], axis=-1)
+    nc = cols.shape[-1]
+    return jnp.pad(cols.reshape(B * F, nc), ((0, 0), (0, NA - nc)))
 
 
-def _build_slot_attrs(face_f, face_i, keys: AlignedKeys):
-    """Expand face tables to the slot table: one row gather each."""
-    return face_f[keys.flat], face_i[keys.flat]
+def _build_slot_attrs(face_tab, keys: AlignedKeys):
+    """Expand the face table to the slot table.
+
+    ``keys.flat`` indexes the depth-sorted face ordering, so the table rows
+    are first permuted by sigma (an F-scale gather) and then expanded with
+    the single slot-scale row gather this stage pays for."""
+    return face_tab[keys.sigma][keys.flat]
 
 
 # =============================================================================
@@ -232,13 +253,15 @@ def _pixel_coords(B, gx, gy):
 # In-kernel shared math
 # =============================================================================
 
-def _face_scalars(fslab, islab, j):
+def _face_scalars(fslab, j):
     """Per-face attrs as true scalars from SMEM (SREG splats in vector ops).
 
-    Attribute slabs live in *scalar memory*: dynamic scalar reads there are
-    the canonical Mosaic pattern (VMEM scalar reads serialize on vector
+    The attribute slab lives in *scalar memory*: dynamic scalar reads there
+    are the canonical Mosaic pattern (VMEM scalar reads serialize on vector
     latency, and any (1,1)->vector path trips Mosaic's unimplemented
-    dual-axis broadcast)."""
+    dual-axis broadcast). Int32 edge coefficients are reassembled from
+    their f32-exact split halves with scalar int ops (see the column-layout
+    comment at the top of this module)."""
     return {
         "tv": [fslab[j, _TV + k] for k in range(3)],
         "e1": [fslab[j, _E1 + k] for k in range(3)],
@@ -248,13 +271,21 @@ def _face_scalars(fslab, islab, j):
         "d": [fslab[j, _D0 + k] for k in range(3)],
         "alpha": fslab[j, _ALPHA],
         "inten": fslab[j, _INTEN],
-        "edge": [islab[j, _EDGE + k] for k in range(9)],
-        "nondeg": islab[j, _NONDEG],
+        "edge": [
+            fslab[j, _EH + k].astype(jnp.int32) * 4096
+            + fslab[j, _EL + k].astype(jnp.int32)
+            for k in range(9)
+        ],
+        "nondeg": fslab[j, _NONDEG],
     }
 
 
 def _coverage_and_uv(fs, px, py, dx, dy, dz):
-    """Per-pixel coverage + clamped barycentrics for one face."""
+    """Per-pixel coverage + clamped barycentrics for one face.
+
+    Also returns the Moller-Trumbore intermediates (P = d x e2 and the
+    denominator) so the backward kernel's gradient factoring can reuse
+    them instead of recomputing the cross products."""
     A1, B1, C1, A2, B2, C2, A3, B3, C3 = fs["edge"]
     s1 = A1 * px + B1 * py + C1
     s2 = A2 * px + B2 * py + C2
@@ -277,7 +308,8 @@ def _coverage_and_uv(fs, px, py, dx, dy, dz):
 
     u_c, v_c, code = clamp_bary_uv(u, v)
     i0 = 1.0 - u_c - v_c
-    return cover & valid, u, v, u_c, v_c, code, i0, u_c, v_c
+    return (cover & valid, u, v, u_c, v_c, code, i0, u_c, v_c,
+            (Px, Py, Pz, denom))
 
 
 def _interp_scalars(fs, i0, i1, i2):
@@ -294,8 +326,8 @@ def _interp_scalars(fs, i0, i1, i2):
 # Forward kernel
 # =============================================================================
 
-def _fwd_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
-                pix_ref, out_ref, fslab, islab, semf, semi):
+def _fwd_kernel(starts_ref, ends_ref, attr_hbm, rayd_ref,
+                pix_ref, out_ref, fslab, semf):
     t = pl.program_id(0)
     start = starts_ref[t]  # slab-aligned (binning.align_to_slabs)
     end = ends_ref[t]
@@ -331,21 +363,17 @@ def _fwd_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
         s, done, T, pT, Cr, Cg, Cb, D, nc = c
         s0 = pl.multiple_of(start + s * SLAB, SLAB)
         cf = pltpu.make_async_copy(
-            attrf_hbm.at[pl.ds(s0, SLAB), :], fslab, semf)
-        ci = pltpu.make_async_copy(
-            attri_hbm.at[pl.ds(s0, SLAB), :], islab, semi)
+            attr_hbm.at[pl.ds(s0, SLAB), :], fslab, semf)
         cf.start()
-        ci.start()
         cf.wait()
-        ci.wait()
 
         rem = jnp.minimum(n - s * SLAB, SLAB)
         base = s * SLAB
 
         def face_body(j, st):
             done, T, pT, Cr, Cg, Cb, D, nc = st
-            fs = _face_scalars(fslab, islab, j)
-            hitg, _u, _v, _uc, _vc, _code, i0, i1, i2 = _coverage_and_uv(
+            fs = _face_scalars(fslab, j)
+            hitg, _u, _v, _uc, _vc, _code, i0, i1, i2, _mt = _coverage_and_uv(
                 fs, px, py, dx, dy, dz)
             cr, cg, cb, dep = _interp_scalars(fs, i0, i1, i2)
             a = fs["alpha"]
@@ -377,12 +405,11 @@ def _fwd_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
     out_ref[0, 6] = nc.astype(jnp.float32)
 
 
-def _run_fwd_kernel(starts, ends, attr_f, attr_i, rayd_t, pix_t, n_tiles):
+def _run_fwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, n_tiles):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 3, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -393,8 +420,6 @@ def _run_fwd_kernel(starts, ends, attr_f, attr_i, rayd_t, pix_t, n_tiles):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((SLAB, NA), jnp.float32),
-            pltpu.SMEM((SLAB, NA), jnp.int32),
-            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -403,16 +428,16 @@ def _run_fwd_kernel(starts, ends, attr_f, attr_i, rayd_t, pix_t, n_tiles):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 7, PSUB, PLANE), jnp.float32),
         interpret=_interpret(),
-    )(starts, ends, attr_f, attr_i, rayd_t, pix_t)
+    )(starts, ends, attr_tab, rayd_t, pix_t)
 
 
 # =============================================================================
 # Backward kernel
 # =============================================================================
 
-def _bwd_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
+def _bwd_kernel(starts_ref, ends_ref, attr_hbm, rayd_ref,
                 pix_ref, fwd_ref, gin_ref, grec_in_hbm, grec_hbm, fslab,
-                islab, grec, semf, semi, semg):
+                grec, semf, semg):
     # grec_in_hbm is the zero-initialized record buffer, donated to
     # grec_hbm (input_output_aliases): slabs this kernel never visits stay
     # exactly zero, so the XLA-side reduction needs no validity masking.
@@ -469,13 +494,9 @@ def _bwd_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
         s, T, first, la, lr, lg, lb, ld, ar, ag, ab, ad = c
         s0 = pl.multiple_of(start + s * SLAB, SLAB)
         cf = pltpu.make_async_copy(
-            attrf_hbm.at[pl.ds(s0, SLAB), :], fslab, semf)
-        ci = pltpu.make_async_copy(
-            attri_hbm.at[pl.ds(s0, SLAB), :], islab, semi)
+            attr_hbm.at[pl.ds(s0, SLAB), :], fslab, semf)
         cf.start()
-        ci.start()
         cf.wait()
-        ci.wait()
 
         rem = jnp.minimum(n_eff - s * SLAB, SLAB)
         base = s * SLAB
@@ -494,8 +515,8 @@ def _bwd_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
 
         def face_body(jj, st):
             j = rem - 1 - jj  # reverse within slab
-            fs = _face_scalars(fslab, islab, j)
-            hitg, u, v, uc, vc, code, i0, i1, i2 = _coverage_and_uv(
+            fs = _face_scalars(fslab, j)
+            hitg, u, v, uc, vc, code, i0, i1, i2, mt = _coverage_and_uv(
                 fs, px, py, dx, dy, dz)
             a = fs["alpha"]
             pos = base + j
@@ -503,8 +524,8 @@ def _bwd_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
 
             def heavy(op):
                 return _bwd_face_heavy(
-                    op, fs, active, a, i0, i1, i2, code, grec, j,
-                    px, py, dx, dy, dz, g_r, g_g, g_b, g_d, bg_dot,
+                    op, fs, active, a, u, i0, i1, i2, code, mt, grec, j,
+                    dx, dy, dz, g_r, g_g, g_b, g_d, bg_dot,
                     final_T, final_pT)
 
             def skip(op):
@@ -529,8 +550,8 @@ def _bwd_kernel(starts_ref, ends_ref, attrf_hbm, attri_hbm, rayd_ref,
     lax.while_loop(cond, body, init)
 
 
-def _bwd_face_heavy(st, fs, active, a, i0, i1, i2, code, grec, j,
-                    px, py, dx, dy, dz, g_r, g_g, g_b, g_d, bg_dot,
+def _bwd_face_heavy(st, fs, active, a, u, i0, i1, i2, code, mt, grec, j,
+                    dx, dy, dz, g_r, g_g, g_b, g_d, bg_dot,
                     final_T, final_pT):
     (T, first, la, lr, lg, lb, ld, ar, ag, ab, ad) = st
 
@@ -595,26 +616,51 @@ def _bwd_face_heavy(st, fs, active, a, i0, i1, i2, code, grec, j,
     dL_du = dL_duc * duc_du + dL_dvc * dvc_du
     dL_dv = dL_duc * duc_dv + dL_dvc * dvc_dv
 
-    # Per-pixel Moller-Trumbore vertex gradients, reference formulas
-    # with the dv==dt quirk (geometry.ray_tri_uv_grads_reference).
+    # Per-pixel Moller-Trumbore vertex gradients (reference formulas incl.
+    # the dv==dt quirk, geometry.ray_tri_uv_grads_reference), factored into
+    # per-pixel MOMENTS x per-face constants. With R = d x e2, E = e1 x d,
+    # X = tv x d all linear in the per-pixel ray direction d, the per-pixel
+    # gradient fields collapse to
+    #   gp1 = a R + b (e2 x tv);  gp2 = c X + a E + b qv;  gt = c R + b e12
+    # where a = -(dL_du u_num + dL_dv t_num) / denom^2, b = dL_dv / denom,
+    # c = dL_du / denom. The nine per-pixel field reductions of the direct
+    # form become SEVEN moments -- S(a d), S(c d), S(b) -- and the cross
+    # products move to per-face scalar math on the reduced values. R and
+    # denom are reused from the coverage pass (mt).
     e1x, e1y, e1z = fs["e1"]
     e2x, e2y, e2z = fs["e2"]
     tvx, tvy, tvz = fs["tv"]
-    rxe2x = dy * e2z - dz * e2y
-    rxe2y = dz * e2x - dx * e2z
-    rxe2z = dx * e2y - dy * e2x
-    denom_sqrt = rxe2x * e1x + rxe2y * e1y + rxe2z * e1z
+    qx, qy, qz = fs["qv"]
+    rxe2x, rxe2y, rxe2z, denom_sqrt = mt
     den2 = denom_sqrt * denom_sqrt
     inv2 = 1.0 / jnp.where(den2 == 0.0, 1.0, den2)
-    v0 = rxe2x * tvx + rxe2y * tvy + rxe2z * tvz  # u numerator
-    qx, qy, qz = fs["qv"]
-    v2n = qx * e2x + qy * e2y + qz * e2z  # t numerator (qv . e2)
-    txrx = tvy * dz - tvz * dy
-    txry = tvz * dx - tvx * dz
-    txrz = tvx * dy - tvy * dx
-    e1xrx = e1y * dz - e1z * dy
-    e1xry = e1z * dx - e1x * dz
-    e1xrz = e1x * dy - e1y * dx
+    v0 = u * denom_sqrt  # u numerator (u from the coverage pass)
+    v2n = qx * e2x + qy * e2y + qz * e2z  # t numerator (qv . e2), scalar
+    a_m = -(dL_du * v0 + dL_dv * v2n) * inv2
+    b_m = dL_dv * denom_sqrt * inv2
+    c_m = dL_du * denom_sqrt * inv2
+
+    S_b = jnp.sum(b_m)
+    S_ax = jnp.sum(a_m * dx)
+    S_ay = jnp.sum(a_m * dy)
+    S_az = jnp.sum(a_m * dz)
+    S_cx = jnp.sum(c_m * dx)
+    S_cy = jnp.sum(c_m * dy)
+    S_cz = jnp.sum(c_m * dz)
+
+    # scalar reconstruction: S(w * (d x e2)) = S(w d) x e2 etc.
+    aRx = S_ay * e2z - S_az * e2y
+    aRy = S_az * e2x - S_ax * e2z
+    aRz = S_ax * e2y - S_ay * e2x
+    cRx = S_cy * e2z - S_cz * e2y
+    cRy = S_cz * e2x - S_cx * e2z
+    cRz = S_cx * e2y - S_cy * e2x
+    aEx = e1y * S_az - e1z * S_ay
+    aEy = e1z * S_ax - e1x * S_az
+    aEz = e1x * S_ay - e1y * S_ax
+    cXx = tvy * S_cz - tvz * S_cy
+    cXy = tvz * S_cx - tvx * S_cz
+    cXz = tvx * S_cy - tvy * S_cx
     e2xtx = e2y * tvz - e2z * tvy
     e2xty = e2z * tvx - e2x * tvz
     e2xtz = e2x * tvy - e2y * tvx
@@ -622,35 +668,15 @@ def _bwd_face_heavy(st, fs, active, a, i0, i1, i2, code, grec, j,
     e12y = e1z * e2x - e1x * e2z
     e12z = e1x * e2y - e1y * e2x
 
-    du_de1x = -rxe2x * v0 * inv2
-    du_de1y = -rxe2y * v0 * inv2
-    du_de1z = -rxe2z * v0 * inv2
-    du_de2x = (txrx * denom_sqrt - v0 * e1xrx) * inv2
-    du_de2y = (txry * denom_sqrt - v0 * e1xry) * inv2
-    du_de2z = (txrz * denom_sqrt - v0 * e1xrz) * inv2
-    du_dtx = rxe2x * denom_sqrt * inv2
-    du_dty = rxe2y * denom_sqrt * inv2
-    du_dtz = rxe2z * denom_sqrt * inv2
-
-    dv_de1x = (e2xtx * denom_sqrt - v2n * rxe2x) * inv2
-    dv_de1y = (e2xty * denom_sqrt - v2n * rxe2y) * inv2
-    dv_de1z = (e2xtz * denom_sqrt - v2n * rxe2z) * inv2
-    dv_de2x = (qx * denom_sqrt - v2n * e1xrx) * inv2
-    dv_de2y = (qy * denom_sqrt - v2n * e1xry) * inv2
-    dv_de2z = (qz * denom_sqrt - v2n * e1xrz) * inv2
-    dv_dtx = e12x * denom_sqrt * inv2
-    dv_dty = e12y * denom_sqrt * inv2
-    dv_dtz = e12z * denom_sqrt * inv2
-
-    gp1x = dL_du * du_de1x + dL_dv * dv_de1x
-    gp1y = dL_du * du_de1y + dL_dv * dv_de1y
-    gp1z = dL_du * du_de1z + dL_dv * dv_de1z
-    gp2x = dL_du * du_de2x + dL_dv * dv_de2x
-    gp2y = dL_du * du_de2y + dL_dv * dv_de2y
-    gp2z = dL_du * du_de2z + dL_dv * dv_de2z
-    gtx = dL_du * du_dtx + dL_dv * dv_dtx
-    gty = dL_du * du_dty + dL_dv * dv_dty
-    gtz = dL_du * du_dtz + dL_dv * dv_dtz
+    gp1x = aRx + S_b * e2xtx
+    gp1y = aRy + S_b * e2xty
+    gp1z = aRz + S_b * e2xtz
+    gp2x = cXx + aEx + S_b * qx
+    gp2y = cXy + aEy + S_b * qy
+    gp2z = cXz + aEz + S_b * qz
+    gtx = cRx + S_b * e12x
+    gty = cRy + S_b * e12y
+    gtz = cRz + S_b * e12z
     gp0x = -gp1x - gp2x - gtx
     gp0y = -gp1y - gp2y - gty
     gp0z = -gp1z - gp2z - gtz
@@ -659,10 +685,13 @@ def _bwd_face_heavy(st, fs, active, a, i0, i1, i2, code, grec, j,
         grec[j // REC_PER_ROW, (j % REC_PER_ROW) * REC_COLS + col] \
             = jnp.sum(val)
 
+    def put_scalar(col, val):
+        grec[j // REC_PER_ROW, (j % REC_PER_ROW) * REC_COLS + col] = val
+
     put(_G_ALPHA, dalpha)
     vals_p = (gp0x, gp0y, gp0z, gp1x, gp1y, gp1z, gp2x, gp2y, gp2z)
     for k, val in enumerate(vals_p):
-        put(_G_P + k, val)
+        put_scalar(_G_P + k, val)
     vc_vals = (
         i0 * dic_r, i0 * dic_g, i0 * dic_b,
         i1 * dic_r, i1 * dic_g, i1 * dic_b,
@@ -678,13 +707,12 @@ def _bwd_face_heavy(st, fs, active, a, i0, i1, i2, code, grec, j,
     return (T, first, la, lr, lg, lb, ld, ar, ag, ab, ad)
 
 
-def _run_bwd_kernel(starts, ends, attr_f, attr_i, rayd_t, pix_t, fwd_t,
+def _run_bwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, fwd_t,
                     gin_t, n_tiles, cap):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 3, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -699,9 +727,7 @@ def _run_bwd_kernel(starts, ends, attr_f, attr_i, rayd_t, pix_t, fwd_t,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.SMEM((SLAB, NA), jnp.float32),
-            pltpu.SMEM((SLAB, NA), jnp.int32),
             pltpu.SMEM((SLAB // REC_PER_ROW, NG), jnp.float32),
-            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -711,11 +737,11 @@ def _run_bwd_kernel(starts, ends, attr_f, attr_i, rayd_t, pix_t, fwd_t,
         _bwd_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((cap // REC_PER_ROW, NG), jnp.float32),
-        # arg 8 = grec_init (indices count the scalar-prefetch args too)
-        input_output_aliases={8: 0},
+        # arg 7 = grec_init (indices count the scalar-prefetch args too)
+        input_output_aliases={7: 0},
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, ends, attr_f, attr_i, rayd_t, pix_t, fwd_t, gin_t, grec_init)
+    )(starts, ends, attr_tab, rayd_t, pix_t, fwd_t, gin_t, grec_init)
 
 
 # =============================================================================
@@ -737,29 +763,29 @@ def _binned_prepare(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     keys = align_to_slabs(raw, n_tiles, SLAB, cap, faces.shape[0])
 
     cam_o = inv_mv_t[:, 3, :3]  # [B, 3]
-    face_f, face_i = _build_face_tables(
+    face_tab = _build_face_table(
         verts, faces, verts_color, faces_opacity, verts_depth, faces_intense,
         img, cam_o,
     )
-    attr_f, attr_i = _build_slot_attrs(face_f, face_i, keys)
+    attr_tab = _build_slot_attrs(face_tab, keys)
 
     ray_o, ray_d = generate_rays(inv_mv_t, inv_proj_t, width, height,
                                  norm_eps_mode="tri")
     rayd_t = _tileify(ray_d, B, height, width, gx, gy)  # [NT, 3, 8, 128]
     pix_t = _pixel_coords(B, gx, gy)
 
-    return keys, attr_f, attr_i, rayd_t, pix_t, (B, gx, gy, cap)
+    return keys, attr_tab, rayd_t, pix_t, (B, gx, gy, cap)
 
 
 def _render_binned_impl(verts, faces, verts_color, faces_opacity, mv_t,
                         proj_t, inv_mv_t, inv_proj_t, verts_depth,
                         faces_intense, bg, height, width, kcap):
-    keys, attr_f, attr_i, rayd_t, pix_t, (B, gx, gy, cap) = _binned_prepare(
+    keys, attr_tab, rayd_t, pix_t, (B, gx, gy, cap) = _binned_prepare(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
         inv_proj_t, verts_depth, faces_intense, height, width, kcap,
     )
     n_tiles = B * gx * gy
-    out = _run_fwd_kernel(keys.starts, keys.ends, attr_f, attr_i, rayd_t,
+    out = _run_fwd_kernel(keys.starts, keys.ends, attr_tab, rayd_t,
                           pix_t, n_tiles)
     img = _untile(out[:, 0:4], B, height, width, gx, gy)  # [B,H,W,4]
     state = _untile(out[:, 4:7], B, height, width, gx, gy)  # T, pT, nc
@@ -769,7 +795,7 @@ def _render_binned_impl(verts, faces, verts_color, faces_opacity, mv_t,
     depth = img[..., 3] + T * 1.0
     color = color.transpose(0, 3, 1, 2)
     depth = depth[:, None, :, :]
-    return color, depth, out[:, 4:7], keys, (attr_f, attr_i, rayd_t, pix_t)
+    return color, depth, out[:, 4:7], keys, (attr_tab, rayd_t, pix_t)
 
 
 # =============================================================================
@@ -794,13 +820,13 @@ def render_tri_binned(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     shapes.
 
     Overflow policy: if more (face, tile) pairs are emitted than ``kcap``,
-    keys are dropped in EMISSION order -- emission is view-major, face-major
-    (matching duplicateWithKeys' slot numbering, rasterizer_impl.cu:69-96),
-    so the highest (view, face) indices lose their tiles first; a face
-    straddling the cut keeps the row-major head of its tile rect. Overflow
-    is surfaced (a) via ``with_aux=True`` -> extra output
-    ``(overflow bool[], num_rendered int32[])``, (b) by a jax.debug.print
-    warning on callback-capable backends, and (c) via
+    keys are dropped in emission order; emission is view-major and, within
+    each view, sorted by the face depth key -- so the FARTHEST faces of the
+    highest-numbered view lose their tiles first (the least visible
+    geometry degrades first). A face straddling the cut keeps the row-major
+    head of its tile rect. Overflow is surfaced (a) via ``with_aux=True``
+    -> extra output ``(overflow bool[], num_rendered int32[])``, (b) by a
+    jax.debug.print warning on callback-capable backends, and (c) via
     utils.diagnostics.tri_render_stats.
     """
     if kcap is None:
@@ -855,7 +881,7 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
     n_tiles = B * gx * gy
     cap = aligned_capacity(kcap, n_tiles, SLAB)
 
-    attr_f, attr_i, rayd_t, pix_t = saved
+    attr_tab, rayd_t, pix_t = saved
 
     gcol = dL_dcolor.transpose(0, 2, 3, 1)  # [B, H, W, 3]
     gdep = dL_ddepth[:, 0, :, :]  # [B, H, W]
@@ -865,7 +891,7 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
     )  # [B, H, W, 5]
     gin_t = _tileify(gin, B, height, width, gx, gy)
 
-    rec4 = _run_bwd_kernel(keys.starts, keys.ends, attr_f, attr_i, rayd_t,
+    rec4 = _run_bwd_kernel(keys.starts, keys.ends, attr_tab, rayd_t,
                            pix_t, fwd_state_t, gin_t, n_tiles, cap)
     rec = rec4.reshape(cap, REC_COLS)  # un-pack: 4 records per 128-lane row
 
@@ -879,10 +905,17 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
     # backward's wall, not the collisions. No validity masking is needed:
     # slabs the kernel never visits stay zero (zero-initialized donated
     # output), in-slab tail rows are zeroed by the kernel, and padding
-    # slots carry flat=0, so they add exact zeros to face (0, 0).
-    face_g = (
+    # slots carry flat=0, so they add exact zeros to the nearest face of
+    # view 0. ``keys.flat`` lives in depth-sorted face space; the summed
+    # rows are un-permuted back to original (view, face) order through
+    # sigma at face scale (the slot-scale arrays never leave sorted space).
+    face_g_sorted = (
         jnp.zeros((B * F, NG_USED), jnp.float32)
         .at[keys.flat].add(rec[:, :NG_USED])
+    )
+    face_g = (
+        jnp.zeros((B * F, NG_USED), jnp.float32)
+        .at[keys.sigma].set(face_g_sorted, unique_indices=True)
         .reshape(B, F, NG_USED)
     )
 

@@ -111,11 +111,11 @@ def test_overflow_flag_via_public_api(args, monkeypatch):
     assert bool(ovf) and int(total) > 16
 
 
-def test_overflow_drop_policy_is_emission_order(args):
-    """Keys are dropped in emission (view-major, face-major) order: with
-    kcap cut exactly at face k's emission boundary in view 0, the image of
-    view 0 equals rendering only faces [0, k) (lower indices keep their
-    tiles; B=1 here so view-major == face-major)."""
+def test_overflow_drop_policy_is_farthest_first(args):
+    """Keys are dropped farthest-first: emission is per-view depth-sorted,
+    so with kcap cut exactly at the k-th nearest face's emission boundary,
+    the image equals rendering only the k NEAREST faces (the least visible
+    geometry degrades first; B=1 here so view-major plays no role)."""
     from dmesh_renderer_tpu.ops.geometry import (
         preprocess_faces, project_verts,
     )
@@ -124,27 +124,30 @@ def test_overflow_drop_policy_is_emission_order(args):
      vdepth, fintense, bg) = args
 
     # single view to make the boundary exact
-    sl = lambda x: x[:1]
     one = (mv_t[:1], proj_t[:1], inv_mv_t[:1], inv_proj_t[:1],
            vdepth[:1], fintense[:1])
 
     ndc, img = project_verts(verts, one[0], one[1], W, H)
     pre = preprocess_faces(ndc, img, faces, W, H, 32, 32)
     tiles = np.array(pre["tiles"][0])  # [F]
-    csum = np.cumsum(tiles)
-    # pick a face boundary near the middle with a nonzero tail
+    depth = np.array(pre["depth"][0])
+    key = np.where(tiles > 0, depth, np.inf)
+    order = np.argsort(key, kind="stable")  # per-view face emission order
+    csum = np.cumsum(tiles[order])
+    # pick a depth-order boundary near the middle with a nonzero tail
     k = N_TRIS // 2
-    while k < N_TRIS and csum[k - 1] == csum[-1]:
+    while k > 1 and csum[k - 1] == csum[-1]:
         k -= 1
     kcap_cut = int(csum[k - 1])
     assert kcap_cut < csum[-1], "need a real cut for this test"
 
+    near = np.sort(order[:k])  # the k nearest emitting faces
     c_cut, _ = render_tri_binned(
         verts, faces, vcolor, fopacity, *one[:4], one[4], one[5], bg,
         H, W, kcap_cut,
     )
-    c_head, _ = render_tri_binned(
-        verts, faces[:k], vcolor, fopacity[:k], *one[:4], one[4],
-        fintense[:1, :k], bg, H, W, kcap_cut,
+    c_near, _ = render_tri_binned(
+        verts, faces[near], vcolor, fopacity[near], *one[:4], one[4],
+        fintense[:1, near], bg, H, W, kcap_cut,
     )
-    np.testing.assert_allclose(np.array(c_cut), np.array(c_head), atol=1e-6)
+    np.testing.assert_allclose(np.array(c_cut), np.array(c_near), atol=1e-6)
