@@ -174,13 +174,13 @@ def _march_tables(verts, faces, tets, tet_faces, face_tets, verts_color,
                         slot) instead of per pixel per step); face ids[4]
                         and neighbor tet ids[4] stored as exact float32
                         (ids < 2^24)
-      shade [B*F, 16]   col9 (3 vertex colors), alpha, fv[3] vertex ids
-                        (f32-exact; gradients are hand-written in the
-                        custom_vjp backward, so packing traced values is
-                        sound), log(max(1-alpha, 1e-37)) -- precomputed so
-                        the march's log-transmittance update needs no
+      shade [B*F, 12]   col9 (3 vertex colors), alpha,
+                        log(max(1-alpha, 1e-37)) -- precomputed so the
+                        march's log-transmittance update needs no
                         per-step transcendental -- and the per-view face
                         intensity, so each step does ONE shading gather
+                        (gradients accumulate per FACE, so no vertex ids
+                        ride in the table)
       geo      [F, 12]  kept for the one-time first-face orientation test
       sign     [T, 4]   kept for the one-time first-tet selection
 
@@ -228,36 +228,38 @@ def _march_tables(verts, faces, tets, tet_faces, face_tets, verts_color,
     log1ma = jnp.log(jnp.maximum(1.0 - faces_opacity, 1e-37))
     B = faces_intense.shape[0]
     base = jnp.concatenate(
-        [col9, faces_opacity[:, None], faces.astype(jnp.float32),
-         log1ma[:, None]], axis=1
-    )  # [F, 14]: col9, alpha, vertex ids (f32-exact), log(1-alpha)
+        [col9, faces_opacity[:, None], log1ma[:, None]], axis=1
+    )  # [F, 11]: col9, alpha, log(1-alpha)
     shade = jnp.concatenate(
         [
-            jnp.broadcast_to(base[None], (B, F, 14)),
+            jnp.broadcast_to(base[None], (B, F, 11)),
             faces_intense[..., None],
-            jnp.zeros((B, F, 1), jnp.float32),
         ],
         axis=-1,
-    ).reshape(B * F, 16)
+    ).reshape(B * F, 12)
     return {"tet_pack": tet_pack, "shade": shade, "geo": geo, "sign": sign}
 
 
-def _mt_from_edges(ray_o, ray_d, p0, e1, e2):
-    """Moller-Trumbore on precomputed edges (identical arithmetic to
-    geometry.ray_tri_intersection, which derives e1/e2 the same way)."""
-    tvec = ray_o - p0
-    pv = jnp.cross(ray_d, e2)
-    qv = jnp.cross(tvec, e1)
-    denom = jnp.sum(pv * e1, axis=-1)
-    nd = denom != 0.0
-    inv = 1.0 / jnp.where(nd, denom, jnp.ones_like(denom))
-    t = jnp.sum(qv * e2, axis=-1) * inv
-    u = jnp.sum(pv * tvec, axis=-1) * inv
-    v = jnp.sum(qv * ray_d, axis=-1) * inv
-    return jnp.stack([t, u, v], axis=-1), nd
+def _split_cols(rows: Array, k: int) -> list:
+    """Split a row-gathered [M, K] table into K clean 1-D [M] columns.
+
+    On TPU a [M, K] buffer pads K up to 128 lanes, and every consumer
+    fusion pays a full strided pass over the padded buffer (the original
+    march step cost 24 ms at M=640k for ~1.5 ms of gather + math). One
+    physical relayout to [M/128, K, 128] -- rays in lanes -- makes each
+    column a contiguous [M] vector; the identical step math then costs
+    ~2 ms (tools/profile_step_variants.py variant p). The
+    optimization_barrier pins the relayout so XLA cannot fuse it away
+    into per-consumer strided reads again."""
+    m = rows.shape[0]
+    if m % 128 == 0 and m >= 128:
+        r = rows.reshape(m // 128, 128, k).swapaxes(1, 2)
+        r = lax.optimization_barrier(r)
+        return [r[:, c, :].reshape(m) for c in range(k)]
+    return [rows[:, c] for c in range(k)]
 
 
-def _step_through_tet(march, curr_face, curr_tet, ray_o, ray_d, direction):
+def _step_through_tet(march, curr_face, curr_tet, rayo, rayd, direction):
     """One connectivity step of the march (shared by fwd and bwd).
 
     direction=+1: forward walk (exit face: outward normal . d > 0,
@@ -265,90 +267,98 @@ def _step_through_tet(march, curr_face, curr_tet, ray_o, ray_d, direction):
     direction=-1: backward walk (signs flipped) -- backward.cu:372-484.
 
     One gather per step: the packed per-tet row (geometry, orientation,
-    face ids, precomputed neighbors -- see _march_tables).
+    face ids, precomputed neighbors -- see _march_tables). rayo/rayd are
+    (x, y, z) tuples of [M] arrays; all math runs on 1-D [M] vectors (see
+    _split_cols for why).
 
     Returns (err, next_face, next_tet, next_t, next_u, next_v), where err
-    marks the reference's invariant violations (cases 1-3).
+    marks the reference's invariant violations (cases 1-3). The reference
+    keeps the LAST matching exit candidate in slot order and falls back to
+    slot 0 when none match (the err lanes' values are never consumed).
     """
     ct = jnp.maximum(curr_tet, 0)
-    pack = march["tet_pack"][ct]  # [B, N, 48] -- the step's only gather
-    shape = ct.shape
-    geo_j = pack[..., 0:36].reshape(shape + (4, 9))
-    sign_j = pack[..., 36:40]
-    tf = pack[..., 40:44].astype(jnp.int32)  # [B, N, 4] face ids
-    nbr_j = pack[..., 44:48].astype(jnp.int32)
+    cols = _split_cols(march["tet_pack"][ct], 48)
+    ox, oy, oz = rayo
+    dx, dy, dz = rayd
+    cff = curr_face.astype(jnp.float32)
 
-    is_entry = tf == curr_face[..., None]
-    other = ~is_entry
-    cnt = jnp.sum(other.astype(jnp.int32), axis=-1)
-    err1 = cnt != 3  # error case 1 (forward.cu:687-691)
+    n_other = jnp.zeros_like(curr_face)
+    n_exit = jnp.zeros_like(curr_face)
+    d_entry = jnp.zeros_like(dx)
+    nt_ = nu_ = nv_ = nface = ntet = None
 
-    p0j = geo_j[..., 0:3]
-    e1j = geo_j[..., 3:6]
-    e2j = geo_j[..., 6:9]
-    # unit normal recomputed with the exact op order of _march_tables'
-    # precompute (bit-identical; auxiliary.h:366-369)
-    n_j = jnp.cross(e1j, e2j)
-    norm_j = jnp.maximum(jnp.sqrt(jnp.sum(n_j * n_j, axis=-1)), 1e-4)
-    nhat_j = n_j / norm_j[..., None]
-    outdot_j = sign_j * jnp.sum(nhat_j * ray_d[..., None, :], axis=-1)
+    for j in range(4):
+        p0x, p0y, p0z = cols[9 * j + 0], cols[9 * j + 1], cols[9 * j + 2]
+        e1x, e1y, e1z = cols[9 * j + 3], cols[9 * j + 4], cols[9 * j + 5]
+        e2x, e2y, e2z = cols[9 * j + 6], cols[9 * j + 7], cols[9 * j + 8]
+        sgn = cols[36 + j]
+        tfj = cols[40 + j]
+        nbj = cols[44 + j]
 
-    # entry-face normal orientation check (error case 2, forward.cu:704-717):
-    # the entry face's outward dot is extracted from its slot in this tet
-    d_entry = jnp.sum(jnp.where(is_entry, outdot_j, 0.0), axis=-1)
-    err2 = jnp.where(direction > 0, d_entry >= 0.0, d_entry <= 0.0)
+        # unit normal recomputed with the exact op order of _march_tables'
+        # precompute (bit-identical; auxiliary.h:366-369)
+        nx = e1y * e2z - e1z * e2y
+        ny = e1z * e2x - e1x * e2z
+        nz = e1x * e2y - e1y * e2x
+        norm = jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-4)
+        nhx, nhy, nhz = nx / norm, ny / norm, nz / norm
+        outd = sgn * (nhx * dx + nhy * dy + nhz * dz)
 
-    tuv, nd = _mt_from_edges(
-        ray_o[..., None, :], ray_d[..., None, :], p0j, e1j, e2j
-    )  # [B, N, 4, 3]
-    hit = strict_hit(tuv, nd)
-    dir_ok = jnp.where(direction > 0, outdot_j > 0.0, outdot_j < 0.0)
-    exit_j = other & hit & dir_ok  # [B, N, 4]
+        # Moller-Trumbore, identical arithmetic to _mt_from_edges
+        tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        denom = pvx * e1x + pvy * e1y + pvz * e1z
+        nd = denom != 0.0
+        inv = 1.0 / jnp.where(nd, denom, 1.0)
+        t = (qvx * e2x + qvy * e2y + qvz * e2z) * inv
+        u = (pvx * tvx + pvy * tvy + pvz * tvz) * inv
+        v = (qvx * dx + qvy * dy + qvz * dz) * inv
+        # strict hit (cuda_renderer/auxiliary.h:292-295)
+        hit = nd & (t >= 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
 
-    n_exit = jnp.sum(exit_j.astype(jnp.int32), axis=-1)
+        is_entry = tfj == cff
+        other = ~is_entry
+        n_other = n_other + other.astype(jnp.int32)
+        # entry-face outward dot (error case 2, forward.cu:704-717)
+        d_entry = d_entry + jnp.where(is_entry, outd, 0.0)
+
+        dir_ok = outd > 0.0 if direction > 0 else outd < 0.0
+        ex = other & hit & dir_ok
+        n_exit = n_exit + ex.astype(jnp.int32)
+
+        if j == 0:
+            nt_, nu_, nv_, nface, ntet = t, u, v, tfj, nbj
+        else:
+            nt_ = jnp.where(ex, t, nt_)
+            nu_ = jnp.where(ex, u, nu_)
+            nv_ = jnp.where(ex, v, nv_)
+            nface = jnp.where(ex, tfj, nface)
+            ntet = jnp.where(ex, nbj, ntet)
+
+    err1 = n_other != 3  # error case 1 (forward.cu:687-691)
+    err2 = d_entry >= 0.0 if direction > 0 else d_entry <= 0.0
     err3 = n_exit != 1  # error case 3 (forward.cu:755-759)
-
-    # reference keeps the LAST matching candidate in iteration order
-    jidx = jnp.broadcast_to(
-        jnp.arange(4, dtype=jnp.int32), exit_j.shape
-    )
-    sel = jnp.max(jnp.where(exit_j, jidx, -1), axis=-1)
-    sel_safe = jnp.maximum(sel, 0)
-    next_face = _select4(tf, sel_safe)
-    next_t = _select4(tuv[..., 0], sel_safe)
-    next_u = _select4(tuv[..., 1], sel_safe)
-    next_v = _select4(tuv[..., 2], sel_safe)
-
-    # the other tet across next_face (forward.cu:761-768), precomputed in
-    # the table: nbr[ct, j] = first face_tets entry != ct and != -1
-    next_tet = _select4(nbr_j, sel_safe)
-
     err = err1 | err2 | err3
-    return err, next_face, next_tet, next_t, next_u, next_v
+    # face/neighbor ids are f32-exact ints (< 2^24); -1 converts exactly
+    return (err, nface.astype(jnp.int32), ntet.astype(jnp.int32),
+            nt_, nu_, nv_)
 
 
 def _march_state_gather(march, fbase, curr_face):
     """Per-pixel attributes of the current face: ONE packed-row gather from
-    the per-(view, face) shade table (fbase: per-pixel view offset b*F).
-    Returns log(1-alpha) from the table so the transmittance update is
-    transcendental-free."""
+    the per-(view, face) shade table (fbase: per-pixel view offset b*F),
+    split into 1-D [M] columns (see _split_cols). Returns (c9, alpha,
+    inten, log1ma): c9 = 9 color columns in [vert, channel] row-major
+    order; log(1-alpha) comes from the table so the transmittance update
+    is transcendental-free."""
     f = jnp.maximum(curr_face, 0)
-    row = march["shade"][fbase + f]  # [M, 16]
-    c = row[..., 0:9].reshape(f.shape + (3, 3))  # [M, 3, 3]
-    alpha = row[..., 9]  # [M]
-    fv = row[..., 10:13].astype(jnp.int32)  # [M, 3]
-    log1ma = row[..., 13]  # [M]
-    inten = row[..., 14]  # [M]
-    return fv, c, alpha, inten, log1ma
-
-
-def _select4(x4, sel):
-    """x4[..., sel] per row via arithmetic selects (take_along_axis lowers
-    to a gather; four fused selects are far cheaper inside the march)."""
-    acc = x4[..., 0]
-    for j in range(1, 4):
-        acc = jnp.where(sel == j, x4[..., j], acc)
-    return acc
+    cols = _split_cols(march["shade"][fbase + f], 12)
+    return cols[0:9], cols[9], cols[11], cols[10]
 
 
 def _projective_ray(ray_o, ray_d, mv_t, proj_t):
@@ -371,11 +381,6 @@ def _projective_ray(ray_o, ray_d, mv_t, proj_t):
     return ph_o, ph_d
 
 
-def _depth_at(ph_o, ph_d, t):
-    return (ph_o[..., 2] + t * ph_d[..., 2]) / clamp_w(
-        ph_o[..., 3] + t * ph_d[..., 3])
-
-
 # =============================================================================
 # Active-ray compaction
 # =============================================================================
@@ -394,9 +399,12 @@ COMPACT_MIN_SIZE = 65_536
 
 
 def _march_phase_sizes(m: int) -> list[int]:
+    # sizes stay multiples of 128 so _split_cols' lane-major relayout
+    # applies at every compaction level
     sizes = [m]
     while sizes[-1] // COMPACT_SHRINK >= COMPACT_MIN_SIZE:
-        sizes.append(sizes[-1] // COMPACT_SHRINK)
+        nxt = sizes[-1] // COMPACT_SHRINK
+        sizes.append(nxt + (-nxt) % 128)
     return sizes
 
 
@@ -535,15 +543,31 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
 
     done0 = (first_face == -1) | (first_tet == -1)
 
-    # flatten to [M]: the march compacts the alive-ray set across views
-    M = B * N
+    # flatten to [M] and pad to a multiple of 128 (padding lanes are done
+    # from step 0): the march compacts the alive-ray set across views and
+    # the SoA column splits need lane-aligned buffers (_split_cols)
+    M0 = B * N
+    pad = (-M0) % 128
+    M = M0 + pad
     F = faces.shape[0]
-    flat = lambda x: x.reshape((M,) + x.shape[2:])
-    fbase = (jnp.arange(M, dtype=jnp.int32) // N) * F
 
+    def flat(x, fill=0):
+        x = x.reshape((M0,) + x.shape[2:])
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
+        return x
+
+    fbase = jnp.minimum(jnp.arange(M, dtype=jnp.int32) // N, B - 1) * F
+
+    rof, rdf = flat(ray_o), flat(ray_d)
+    phof, phdf = flat(ph_o), flat(ph_d)
     consts = dict(
-        ray_o=flat(ray_o), ray_d=flat(ray_d),
-        ph_o=flat(ph_o), ph_d=flat(ph_d), fbase=fbase,
+        rox=rof[:, 0], roy=rof[:, 1], roz=rof[:, 2],
+        rdx=rdf[:, 0], rdy=rdf[:, 1], rdz=rdf[:, 2],
+        phoz=phof[:, 2], phow=phof[:, 3],
+        phdz=phdf[:, 2], phdw=phdf[:, 3],
+        fbase=fbase,
     )
     per_pixel = dict(
         curr_face=flat(first_face),
@@ -551,7 +575,9 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         curr_t=flat(rt),
         curr_u=flat(iu),
         curr_v=flat(iv),
-        C=jnp.zeros((M, 3), jnp.float32),
+        Cr=jnp.zeros((M,), jnp.float32),
+        Cg=jnp.zeros((M,), jnp.float32),
+        Cb=jnp.zeros((M,), jnp.float32),
         D=jnp.zeros((M,), jnp.float32),
         log_T=jnp.zeros((M,), jnp.float32),
         T_cur=jnp.ones((M,), jnp.float32),  # exp(log_T), carried so each
@@ -561,26 +587,28 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         last_tet=jnp.full((M,), jnp.int32(-1)),
         n_contrib=jnp.zeros((M,), jnp.int32),
         active=jnp.zeros((M,), jnp.bool_),
-        done=flat(done0),
+        done=flat(done0, fill=True),
     )
     globals_ = dict(step=jnp.int32(0))
 
     def body(s, gl, cs):
         alive = ~s["done"]
         cf, ct = s["curr_face"], s["curr_tet"]
+        u, v = s["curr_u"], s["curr_v"]
 
         # --- 1. blend current face (forward.cu:597-653) ---
-        _fv, c3, alpha, inten, l1a = _march_state_gather(
-            march, cs["fbase"], cf
-        )
-        col = (
-            c3[..., 0, :]
-            + (c3[..., 1, :] - c3[..., 0, :]) * s["curr_u"][..., None]
-            + (c3[..., 2, :] - c3[..., 0, :]) * s["curr_v"][..., None]
-        ) * inten[..., None]
+        c9, alpha, inten, l1a = _march_state_gather(march, cs["fbase"], cf)
         w = jnp.where(alive, s["T_cur"] * alpha, 0.0)
-        C = s["C"] + col * w[..., None]
-        dep = _depth_at(cs["ph_o"], cs["ph_d"], s["curr_t"])
+        col = [
+            (c9[ch] + (c9[3 + ch] - c9[ch]) * u
+             + (c9[6 + ch] - c9[ch]) * v) * inten
+            for ch in range(3)
+        ]
+        Cr = s["Cr"] + col[0] * w
+        Cg = s["Cg"] + col[1] * w
+        Cb = s["Cb"] + col[2] * w
+        dep = (cs["phoz"] + s["curr_t"] * cs["phdz"]) / clamp_w(
+            cs["phow"] + s["curr_t"] * cs["phdw"])
         D = s["D"] + dep * w
 
         prev_log_T = jnp.where(alive, s["log_T"], s["prev_log_T"])
@@ -609,7 +637,9 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         # --- 3. walk to the next face (forward.cu:672-775) ---
         walk = alive & ~newly_done
         err, nf, nt, t2, u2, v2 = _step_through_tet(
-            march, cf, ct, cs["ray_o"], cs["ray_d"], +1,
+            march, cf, ct,
+            (cs["rox"], cs["roy"], cs["roz"]),
+            (cs["rdx"], cs["rdy"], cs["rdz"]), +1,
         )
         newly_done = newly_done | (walk & err)
         advance = walk & ~err
@@ -620,7 +650,9 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
             curr_t=jnp.where(advance, t2, s["curr_t"]),
             curr_u=jnp.where(advance, u2, s["curr_u"]),
             curr_v=jnp.where(advance, v2, s["curr_v"]),
-            C=C,
+            Cr=Cr,
+            Cg=Cg,
+            Cb=Cb,
             D=D,
             log_T=log_T,
             T_cur=T_cur,
@@ -633,7 +665,8 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         ), dict(step=gl["step"] + 1)
 
     s, _gl = _compacted_while(per_pixel, globals_, consts, body, max_steps)
-    s = {k: v.reshape((B, N) + v.shape[1:]) for k, v in s.items()}
+    s = {k: v[:M0].reshape((B, N) + v.shape[1:]) for k, v in s.items()}
+    s["C"] = jnp.stack([s.pop("Cr"), s.pop("Cg"), s.pop("Cb")], axis=-1)
 
     final_T = jnp.exp(s["log_T"])
     active = s["active"]
@@ -713,16 +746,36 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
     ft = face_tets[lf_safe]
     curr_tet0 = jnp.where(ft[..., 0] != last_tet, ft[..., 0], ft[..., 1])
 
-    # flatten to [M] for active-ray compaction (gradient accumulators are
-    # global arrays -- they travel in globals_, untouched by compaction)
-    M = B * N
-    flat = lambda x: x.reshape((M,) + x.shape[2:])
-    fbase = (jnp.arange(M, dtype=jnp.int32) // N) * F
+    # flatten to [M] (padded to a multiple of 128; see the forward) for
+    # active-ray compaction. Gradients accumulate per FACE in a [F, 10]
+    # table in globals_ (untouched by compaction): one fused [M]-row
+    # scatter per step instead of the [M, 3]-row vertex scatter + [M]-row
+    # opacity scatter of the direct form (2.6x cheaper, row-count-bound);
+    # the face table expands to vertex/opacity grads once at the end.
+    M0 = B * N
+    pad = (-M0) % 128
+    M = M0 + pad
 
+    def flat(x, fill=0):
+        x = x.reshape((M0,) + x.shape[2:])
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
+        return x
+
+    fbase = jnp.minimum(jnp.arange(M, dtype=jnp.int32) // N, B - 1) * F
+
+    rof, rdf = flat(ray_o), flat(ray_d)
+    phof, phdf = flat(ph_o), flat(ph_d)
+    gcolf = flat(gcol)
     consts = dict(
-        ray_o=flat(ray_o), ray_d=flat(ray_d),
-        ph_o=flat(ph_o), ph_d=flat(ph_d), fbase=fbase,
-        gcol=flat(gcol), gdep=flat(gdep), bg_dot=flat(bg_dot),
+        rox=rof[:, 0], roy=rof[:, 1], roz=rof[:, 2],
+        rdx=rdf[:, 0], rdy=rdf[:, 1], rdz=rdf[:, 2],
+        phoz=phof[:, 2], phow=phof[:, 3],
+        phdz=phdf[:, 2], phdw=phdf[:, 3],
+        fbase=fbase,
+        gcr=gcolf[:, 0], gcg=gcolf[:, 1], gcb=gcolf[:, 2],
+        gdep=flat(gdep), bg_dot=flat(bg_dot),
         final_T=flat(final_T), final_prev_T=flat(final_prev_T),
         first_face=flat(first_face),
     )
@@ -735,34 +788,35 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
         prev_log_T=flat(final_prev_log_T),
         first=jnp.ones((M,), jnp.bool_),
         last_alpha=jnp.zeros((M,), jnp.float32),
-        last_color=jnp.zeros((M, 3), jnp.float32),
+        last_cr=jnp.zeros((M,), jnp.float32),
+        last_cg=jnp.zeros((M,), jnp.float32),
+        last_cb=jnp.zeros((M,), jnp.float32),
         last_depth=jnp.zeros((M,), jnp.float32),
-        accum_rec=jnp.zeros((M, 3), jnp.float32),
-        accum_recd=jnp.zeros((M,), jnp.float32),
-        done=flat(done0),
+        acc_r=jnp.zeros((M,), jnp.float32),
+        acc_g=jnp.zeros((M,), jnp.float32),
+        acc_b=jnp.zeros((M,), jnp.float32),
+        acc_d=jnp.zeros((M,), jnp.float32),
+        done=flat(done0, fill=True),
     )
     globals_ = dict(
         step=jnp.int32(0),
-        g_vcolor=jnp.zeros((P, 3), jnp.float32),
-        g_fopacity=jnp.zeros((F,), jnp.float32),
+        face_acc=jnp.zeros((F, 10), jnp.float32),
     )
 
     def body(s, gl, cs):
         alive = ~s["done"]
         cf, ct = s["curr_face"], s["curr_tet"]
 
-        fv, c3, alpha, inten, l1a = _march_state_gather(
-            march, cs["fbase"], cf
-        )
+        c9, alpha, inten, l1a = _march_state_gather(march, cs["fbase"], cf)
         i1 = s["curr_u"]
         i2 = s["curr_v"]
         i0 = 1.0 - i1 - i2
-        col = (
-            i0[..., None] * c3[..., 0, :]
-            + i1[..., None] * c3[..., 1, :]
-            + i2[..., None] * c3[..., 2, :]
-        ) * inten[..., None]
-        dep = _depth_at(cs["ph_o"], cs["ph_d"], s["curr_t"])
+        col = [
+            (i0 * c9[ch] + i1 * c9[3 + ch] + i2 * c9[6 + ch]) * inten
+            for ch in range(3)
+        ]
+        dep = (cs["phoz"] + s["curr_t"] * cs["phdz"]) / clamp_w(
+            cs["phow"] + s["curr_t"] * cs["phdw"])
 
         # reconstruct prev transmittance (backward.cu:273-277); log(1-alpha)
         # comes precomputed from the shade table
@@ -774,19 +828,18 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
         first = s["first"] & ~alive
         prev_T = jnp.exp(plt)
 
-        accum_rec_new = (
-            s["last_alpha"][..., None] * s["last_color"]
-            + (1.0 - s["last_alpha"][..., None]) * s["accum_rec"]
-        )
-        accum_recd_new = (
-            s["last_alpha"] * s["last_depth"]
-            + (1.0 - s["last_alpha"]) * s["accum_recd"]
-        )
+        la = s["last_alpha"]
+        acc_r_new = la * s["last_cr"] + (1.0 - la) * s["acc_r"]
+        acc_g_new = la * s["last_cg"] + (1.0 - la) * s["acc_g"]
+        acc_b_new = la * s["last_cb"] + (1.0 - la) * s["acc_b"]
+        acc_d_new = la * s["last_depth"] + (1.0 - la) * s["acc_d"]
 
-        dL_dfcolor = cs["gcol"] * (alpha * prev_T)[..., None]
+        ap = alpha * prev_T
         dL_dop = (
-            jnp.sum((col - accum_rec_new) * cs["gcol"], axis=-1)
-            + (dep - accum_recd_new) * cs["gdep"]
+            ((col[0] - acc_r_new) * cs["gcr"]
+             + (col[1] - acc_g_new) * cs["gcg"]
+             + (col[2] - acc_b_new) * cs["gcb"])
+            + (dep - acc_d_new) * cs["gdep"]
         ) * prev_T
 
         # background term (backward.cu:317-339)
@@ -796,24 +849,31 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
             -cs["final_T"] / jnp.maximum(1.0 - alpha, 1e-37),
         )
         dL_dop = dL_dop + bg_coef * cs["bg_dot"]
-
-        dL_dfcolor = jnp.where(alive[..., None], dL_dfcolor, 0.0)
         dL_dop = jnp.where(alive, dL_dop, 0.0)
 
-        accum_rec = jnp.where(alive[..., None], accum_rec_new, s["accum_rec"])
-        accum_recd = jnp.where(alive, accum_recd_new, s["accum_recd"])
-        last_color = jnp.where(alive[..., None], col, s["last_color"])
+        acc_r = jnp.where(alive, acc_r_new, s["acc_r"])
+        acc_g = jnp.where(alive, acc_g_new, s["acc_g"])
+        acc_b = jnp.where(alive, acc_b_new, s["acc_b"])
+        acc_d = jnp.where(alive, acc_d_new, s["acc_d"])
+        last_cr = jnp.where(alive, col[0], s["last_cr"])
+        last_cg = jnp.where(alive, col[1], s["last_cg"])
+        last_cb = jnp.where(alive, col[2], s["last_cb"])
         last_depth = jnp.where(alive, dep, s["last_depth"])
         last_alpha = jnp.where(alive, alpha, s["last_alpha"])
 
-        # scatter (masked lanes contribute zeros at index 0)
-        upd = dL_dfcolor[..., None, :] * (
-            jnp.stack([i0, i1, i2], axis=-1)[..., None]
-        ) * inten[..., None, None]  # [M, 3verts, 3ch]
-        g_vcolor = gl["g_vcolor"].at[fv].add(upd, mode="drop")
-        g_fopacity = gl["g_fopacity"].at[
-            jnp.maximum(cf, 0)
-        ].add(dL_dop, mode="drop")
+        # per-face gradient record: dL_dvcolor contribution of vertex v,
+        # channel ch is gc_ch * alpha * prev_T * bary_v * inten
+        # (masked lanes contribute zeros at face 0)
+        wmask = jnp.where(alive, inten * prev_T * alpha, 0.0)
+        bary = (i0, i1, i2)
+        rec = jnp.stack(
+            [wmask * bary[v] * (cs["gcr"], cs["gcg"], cs["gcb"])[ch]
+             for v in range(3) for ch in range(3)]
+            + [dL_dop],
+            axis=-1,
+        )  # [M, 10]
+        face_acc = gl["face_acc"].at[jnp.maximum(cf, 0)].add(
+            rec, mode="drop")
 
         # terminate at the first face (backward.cu:363-366)
         reached_first = alive & (cf == cs["first_face"])
@@ -824,7 +884,9 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
         newly_done = newly_done | no_tet
         walk = alive & ~newly_done
         err, nf, nt, t2, u2, v2 = _step_through_tet(
-            march, cf, ct, cs["ray_o"], cs["ray_d"], -1,
+            march, cf, ct,
+            (cs["rox"], cs["roy"], cs["roz"]),
+            (cs["rdx"], cs["rdy"], cs["rdz"]), -1,
         )
         newly_done = newly_done | (walk & err)
         advance = walk & ~err
@@ -838,16 +900,26 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
             prev_log_T=jnp.where(alive, plt, s["prev_log_T"]),
             first=first,
             last_alpha=last_alpha,
-            last_color=last_color,
+            last_cr=last_cr,
+            last_cg=last_cg,
+            last_cb=last_cb,
             last_depth=last_depth,
-            accum_rec=accum_rec,
-            accum_recd=accum_recd,
+            acc_r=acc_r,
+            acc_g=acc_g,
+            acc_b=acc_b,
+            acc_d=acc_d,
             done=s["done"] | newly_done,
-        ), dict(step=gl["step"] + 1, g_vcolor=g_vcolor,
-                g_fopacity=g_fopacity)
+        ), dict(step=gl["step"] + 1, face_acc=face_acc)
 
     _s, gl = _compacted_while(per_pixel, globals_, consts, body, max_steps)
-    return gl["g_vcolor"], gl["g_fopacity"]
+
+    # expand the per-face table: vertex color grads via one F-scale
+    # scatter over the face->vertex map; opacity grads are column 9
+    face_acc = gl["face_acc"]
+    g_vcolor = jnp.zeros((P, 3), jnp.float32).at[faces].add(
+        face_acc[:, 0:9].reshape(F, 3, 3), mode="drop")
+    g_fopacity = face_acc[:, 9]
+    return g_vcolor, g_fopacity
 
 
 # =============================================================================
