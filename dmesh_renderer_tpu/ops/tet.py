@@ -240,60 +240,123 @@ def _march_tables(verts, faces, tets, tet_faces, face_tets, verts_color,
     return {"tet_pack": tet_pack, "shade": shade, "geo": geo, "sign": sign}
 
 
-def _split_cols(rows: Array, k: int) -> list:
-    """Split a row-gathered [M, K] table into K clean 1-D [M] columns.
+BQ_MAX = 16  # row-groups (of 128 rays) per kernel block
+
+
+def _relayout(rows: Array, k: int) -> Array:
+    """Physically relayout a row-gathered [M, K] table to [M/128, K, 128]
+    (rays in lanes).
 
     On TPU a [M, K] buffer pads K up to 128 lanes, and every consumer
     fusion pays a full strided pass over the padded buffer (the original
-    march step cost 24 ms at M=640k for ~1.5 ms of gather + math). One
-    physical relayout to [M/128, K, 128] -- rays in lanes -- makes each
-    column a contiguous [M] vector; the identical step math then costs
-    ~2 ms (tools/profile_step_variants.py variant p). The
-    optimization_barrier pins the relayout so XLA cannot fuse it away
-    into per-consumer strided reads again."""
+    march step cost 24 ms at M=640k for ~1.5 ms of gather + math); after
+    this one relayout each attribute k is a clean (rows, 128) vector
+    (tools/profile_step_variants.py). The optimization_barrier pins the
+    relayout so XLA cannot fuse it away into per-consumer strided reads.
+    M must be a multiple of 128 (the march pads its ray buffers)."""
     m = rows.shape[0]
-    if m % 128 == 0 and m >= 128:
-        r = rows.reshape(m // 128, 128, k).swapaxes(1, 2)
-        r = lax.optimization_barrier(r)
-        return [r[:, c, :].reshape(m) for c in range(k)]
-    return [rows[:, c] for c in range(k)]
+    return lax.optimization_barrier(
+        rows.reshape(m // 128, 128, k).swapaxes(1, 2))
 
 
-def _step_through_tet(march, curr_face, curr_tet, rayo, rayd, direction):
-    """One connectivity step of the march (shared by fwd and bwd).
+def _pack_rows(rows) -> Array:
+    """Stack 1-D [M] arrays into the kernel state layout [M/128, NS, 128]."""
+    m = rows[0].shape[0]
+    ns = len(rows)
+    return jnp.stack(rows).reshape(ns, m // 128, 128).swapaxes(0, 1)
+
+
+def _unpack_rows(st: Array, n: int):
+    """Inverse of _pack_rows: n 1-D [M] arrays from [M/128, NS, 128]."""
+    g = st.shape[0]
+    return [st[:, r, :].reshape(g * 128) for r in range(n)]
+
+
+def _pick_bq(g: int) -> int:
+    for b in (BQ_MAX, 8, 4, 2, 1):
+        if g % b == 0:
+            return b
+    return 1
+
+
+def _flat_cols(rows: Array, k: int) -> list:
+    """[M, k] -> k clean 1-D [M] columns via one physical relayout (a
+    [M, k] buffer pads k to 128 lanes; per-column strided slices would
+    each pay a full padded pass)."""
+    r = _relayout(rows, k)
+    m = rows.shape[0]
+    return [r[:, c, :].reshape(m) for c in range(k)]
+
+
+def _gather_cols(tab: Array, idx: Array, k: int) -> list:
+    """Row-gather [len(idx), k] from tab and split into clean columns."""
+    return _flat_cols(tab[idx], k)
+
+
+def _per_view(coef_b: Array, n: int, m: int) -> Array:
+    """Broadcast a per-view scalar [B] to the flattened padded ray buffer
+    [m] (views are contiguous n-blocks; padding lanes get view B-1's
+    value, harmless -- they are done from step 0)."""
+    x = jnp.broadcast_to(coef_b[:, None], (coef_b.shape[0], n)).reshape(-1)
+    if m > x.shape[0]:
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(x[-1:], (m - x.shape[0],))])
+    return x
+
+
+def _projective_zw(ro, rd, mv_t, proj_t, n, m):
+    """z/w rows of the homogeneous ray through the full camera transform,
+    on flat [M] component vectors.
+
+    The reference re-projects the 3D intersection point every march step
+    to get its NDC depth (forward.cu:628-632). proj(mv(o + t d)) is affine
+    in t in homogeneous space, so precompute ph_o = P(M(o)) and
+    ph_d = P_lin(M_lin(d)) once per pixel; per step the depth is just
+    (ph_o.z + t ph_d.z) / clamp_w(ph_o.w + t ph_d.w). Arithmetic order
+    matches transform_point43/44 exactly (auxiliary.h:71-90).
+    """
+    rox, roy, roz = ro
+    rdx, rdy, rdz = rd
+    mv = lambda j, i: _per_view(mv_t[:, j, i], n, m)
+    pj = lambda j, i: _per_view(proj_t[:, j, i], n, m)
+    pvo = [rox * mv(0, i) + roy * mv(1, i) + roz * mv(2, i) + mv(3, i)
+           for i in range(3)]
+    dv = [rdx * mv(0, i) + rdy * mv(1, i) + rdz * mv(2, i)
+          for i in range(3)]
+    phoz = pvo[0] * pj(0, 2) + pvo[1] * pj(1, 2) + pvo[2] * pj(2, 2) \
+        + pj(3, 2)
+    phow = pvo[0] * pj(0, 3) + pvo[1] * pj(1, 3) + pvo[2] * pj(2, 3) \
+        + pj(3, 3)
+    phdz = dv[0] * pj(0, 2) + dv[1] * pj(1, 2) + dv[2] * pj(2, 2)
+    phdw = dv[0] * pj(0, 3) + dv[1] * pj(1, 3) + dv[2] * pj(2, 3)
+    return phoz, phow, phdz, phdw
+
+
+def _connectivity_step(pcol, cf, ox, oy, oz, dx, dy, dz, direction):
+    """One connectivity step of the march on (rows, 128) vectors (runs
+    INSIDE the Pallas march kernels; pcol(c) reads tet-pack column c).
 
     direction=+1: forward walk (exit face: outward normal . d > 0,
     entry-face normal must satisfy . d < 0) -- forward.cu:672-775.
     direction=-1: backward walk (signs flipped) -- backward.cu:372-484.
 
-    One gather per step: the packed per-tet row (geometry, orientation,
-    face ids, precomputed neighbors -- see _march_tables). rayo/rayd are
-    (x, y, z) tuples of [M] arrays; all math runs on 1-D [M] vectors (see
-    _split_cols for why).
-
-    Returns (err, next_face, next_tet, next_t, next_u, next_v), where err
-    marks the reference's invariant violations (cases 1-3). The reference
-    keeps the LAST matching exit candidate in slot order and falls back to
-    slot 0 when none match (the err lanes' values are never consumed).
-    """
-    ct = jnp.maximum(curr_tet, 0)
-    cols = _split_cols(march["tet_pack"][ct], 48)
-    ox, oy, oz = rayo
-    dx, dy, dz = rayd
-    cff = curr_face.astype(jnp.float32)
-
-    n_other = jnp.zeros_like(curr_face)
-    n_exit = jnp.zeros_like(curr_face)
+    cf is the current face id as exact f32. Returns (err, next_face,
+    next_tet, next_t, next_u, next_v); err marks the reference's
+    invariant violations (cases 1-3). The reference keeps the LAST
+    matching exit candidate in slot order and falls back to slot 0 when
+    none match (the err lanes' values are never consumed)."""
+    n_other = jnp.zeros_like(dx)
+    n_exit = jnp.zeros_like(dx)
     d_entry = jnp.zeros_like(dx)
     nt_ = nu_ = nv_ = nface = ntet = None
 
     for j in range(4):
-        p0x, p0y, p0z = cols[9 * j + 0], cols[9 * j + 1], cols[9 * j + 2]
-        e1x, e1y, e1z = cols[9 * j + 3], cols[9 * j + 4], cols[9 * j + 5]
-        e2x, e2y, e2z = cols[9 * j + 6], cols[9 * j + 7], cols[9 * j + 8]
-        sgn = cols[36 + j]
-        tfj = cols[40 + j]
-        nbj = cols[44 + j]
+        p0x, p0y, p0z = pcol(9 * j + 0), pcol(9 * j + 1), pcol(9 * j + 2)
+        e1x, e1y, e1z = pcol(9 * j + 3), pcol(9 * j + 4), pcol(9 * j + 5)
+        e2x, e2y, e2z = pcol(9 * j + 6), pcol(9 * j + 7), pcol(9 * j + 8)
+        sgn = pcol(36 + j)
+        tfj = pcol(40 + j)
+        nbj = pcol(44 + j)
 
         # unit normal recomputed with the exact op order of _march_tables'
         # precompute (bit-identical; auxiliary.h:366-369)
@@ -301,10 +364,10 @@ def _step_through_tet(march, curr_face, curr_tet, rayo, rayd, direction):
         ny = e1z * e2x - e1x * e2z
         nz = e1x * e2y - e1y * e2x
         norm = jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-4)
-        nhx, nhy, nhz = nx / norm, ny / norm, nz / norm
-        outd = sgn * (nhx * dx + nhy * dy + nhz * dz)
+        outd = sgn * ((nx / norm) * dx + (ny / norm) * dy + (nz / norm) * dz)
 
-        # Moller-Trumbore, identical arithmetic to _mt_from_edges
+        # Moller-Trumbore (identical arithmetic to
+        # geometry.ray_tri_intersection on precomputed edges)
         tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
         pvx = dy * e2z - dz * e2y
         pvy = dz * e2x - dx * e2z
@@ -321,15 +384,15 @@ def _step_through_tet(march, curr_face, curr_tet, rayo, rayd, direction):
         # strict hit (cuda_renderer/auxiliary.h:292-295)
         hit = nd & (t >= 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
 
-        is_entry = tfj == cff
+        is_entry = tfj == cf
         other = ~is_entry
-        n_other = n_other + other.astype(jnp.int32)
+        n_other = n_other + other.astype(jnp.float32)
         # entry-face outward dot (error case 2, forward.cu:704-717)
         d_entry = d_entry + jnp.where(is_entry, outd, 0.0)
 
         dir_ok = outd > 0.0 if direction > 0 else outd < 0.0
         ex = other & hit & dir_ok
-        n_exit = n_exit + ex.astype(jnp.int32)
+        n_exit = n_exit + ex.astype(jnp.float32)
 
         if j == 0:
             nt_, nu_, nv_, nface, ntet = t, u, v, tfj, nbj
@@ -340,45 +403,225 @@ def _step_through_tet(march, curr_face, curr_tet, rayo, rayd, direction):
             nface = jnp.where(ex, tfj, nface)
             ntet = jnp.where(ex, nbj, ntet)
 
-    err1 = n_other != 3  # error case 1 (forward.cu:687-691)
+    err1 = n_other != 3.0  # error case 1 (forward.cu:687-691)
     err2 = d_entry >= 0.0 if direction > 0 else d_entry <= 0.0
-    err3 = n_exit != 1  # error case 3 (forward.cu:755-759)
-    err = err1 | err2 | err3
-    # face/neighbor ids are f32-exact ints (< 2^24); -1 converts exactly
-    return (err, nface.astype(jnp.int32), ntet.astype(jnp.int32),
-            nt_, nu_, nv_)
+    err3 = n_exit != 1.0  # error case 3 (forward.cu:755-759)
+    return err1 | err2 | err3, nface, ntet, nt_, nu_, nv_
 
 
-def _march_state_gather(march, fbase, curr_face):
-    """Per-pixel attributes of the current face: ONE packed-row gather from
-    the per-(view, face) shade table (fbase: per-pixel view offset b*F),
-    split into 1-D [M] columns (see _split_cols). Returns (c9, alpha,
-    inten, log1ma): c9 = 9 color columns in [vert, channel] row-major
-    order; log(1-alpha) comes from the table so the transmittance update
-    is transcendental-free."""
-    f = jnp.maximum(curr_face, 0)
-    cols = _split_cols(march["shade"][fbase + f], 12)
-    return cols[0:9], cols[9], cols[11], cols[10]
+# Forward kernel state rows ([M/128, NSF, 128]; ids/flags/counters as
+# exact f32 -- ids < 2**24, flags 0/1)
+(_K_T, _K_U, _K_V, _K_CF, _K_CT, _K_LOGT, _K_TCUR, _K_PLT, _K_CR, _K_CG,
+ _K_CB, _K_D, _K_LF, _K_LT, _K_NC, _K_ACT, _K_DONE) = range(17)
+_NSF = 17
+# Shared ray/projective-depth const rows
+(_C_OX, _C_OY, _C_OZ, _C_DX, _C_DY, _C_DZ, _C_POZ, _C_POW, _C_PDZ,
+ _C_PDW) = range(10)
+# Backward-only const rows
+(_C_GCR, _C_GCG, _C_GCB, _C_GD, _C_BGD, _C_FT, _C_FPT, _C_FF) = range(10, 18)
+# Backward kernel state rows
+(_B_T, _B_U, _B_V, _B_CF, _B_CT, _B_PLT, _B_FIRST, _B_LA, _B_LCR, _B_LCG,
+ _B_LCB, _B_LD, _B_AR, _B_AG, _B_AB, _B_AD, _B_DONE) = range(17)
+_NSB = 17
+_NREC = 10  # backward per-ray gradient record rows appended after state
 
 
-def _projective_ray(ray_o, ray_d, mv_t, proj_t):
-    """Per-pixel homogeneous ray through the full camera transform.
+_LOG_TEPS01 = float(np.log(T_EPS * 0.1))
 
-    The reference re-projects the 3D intersection point every march step to
-    get its NDC depth (forward.cu:628-632). proj(mv(o + t d)) is affine in
-    t in homogeneous space, so precompute ph_o = P(M(o)) and
-    ph_d = P_lin(M_lin(d)) once per pixel; per step the depth is just
-    (ph_o.z + t ph_d.z) / clamp_w(ph_o.w + t ph_d.w).
-    """
-    pv_o = transform_point43(ray_o, mv_t[:, None, :, :])
-    dv = (ray_d[..., 0:1] * mv_t[:, None, 0, :3]
-          + ray_d[..., 1:2] * mv_t[:, None, 1, :3]
-          + ray_d[..., 2:3] * mv_t[:, None, 2, :3])
-    ph_o = transform_point44(pv_o, proj_t[:, None, :, :])  # [B, N, 4]
-    ph_d = (dv[..., 0:1] * proj_t[:, None, 0, :]
-            + dv[..., 1:2] * proj_t[:, None, 1, :]
-            + dv[..., 2:3] * proj_t[:, None, 2, :])  # [B, N, 4]
-    return ph_o, ph_d
+
+def _shade_col(shade_ref, c):
+    return shade_ref[:, c, :]
+
+
+def _fwd_march_kernel(pack_ref, shade_ref, consts_ref, state_ref, out_ref):
+    """One forward march step for a (BQ, 128)-ray block: blend the current
+    face, update transmittance/termination state, and walk to the next
+    face -- the entire body of forward.cu:595-788 in ONE fused pass.
+
+    All per-ray state rides in f32 rows (see _K_* indices); the XLA side
+    does the two table gathers and the int<->f32 id conversions."""
+    s = lambda r: state_ref[:, r, :]
+    c = lambda r: consts_ref[:, r, :]
+    alive = s(_K_DONE) == 0.0
+    cf, ct = s(_K_CF), s(_K_CT)
+    u0, v0, t0 = s(_K_U), s(_K_V), s(_K_T)
+
+    # --- 1. blend current face (forward.cu:597-653) ---
+    alpha = _shade_col(shade_ref, 9)
+    l1a = _shade_col(shade_ref, 10)
+    inten = _shade_col(shade_ref, 11)
+    w = jnp.where(alive, s(_K_TCUR) * alpha, 0.0)
+    col = [
+        (_shade_col(shade_ref, ch)
+         + (_shade_col(shade_ref, 3 + ch) - _shade_col(shade_ref, ch)) * u0
+         + (_shade_col(shade_ref, 6 + ch) - _shade_col(shade_ref, ch)) * v0)
+        * inten
+        for ch in range(3)
+    ]
+    dep = (c(_C_POZ) + t0 * c(_C_PDZ)) / clamp_w(c(_C_POW) + t0 * c(_C_PDW))
+
+    prev_log_T = jnp.where(alive, s(_K_LOGT), s(_K_PLT))
+    log_T_new = jnp.where(alpha < 1.0, s(_K_LOGT) + l1a, _LOG_TEPS01)
+    log_T = jnp.where(alive, log_T_new, s(_K_LOGT))
+    T_cur = jnp.exp(log_T)  # the step's single transcendental
+    t_exhausted = T_cur < T_EPS
+
+    aliv_f = alive.astype(jnp.float32)
+    active = (s(_K_ACT) != 0.0) | (alive & t_exhausted)
+    newly_done = alive & t_exhausted
+
+    # --- 2. exited the tessellation? (forward.cu:667-670) ---
+    no_tet = alive & (ct == -1.0)
+    active = active | no_tet
+    newly_done = newly_done | no_tet
+
+    # --- 3. walk to the next face (forward.cu:672-775) ---
+    walk = alive & ~newly_done
+    err, nf, nt, t2, u2, v2 = _connectivity_step(
+        lambda k: pack_ref[:, k, :], cf,
+        c(_C_OX), c(_C_OY), c(_C_OZ), c(_C_DX), c(_C_DY), c(_C_DZ), +1)
+    newly_done = newly_done | (walk & err)
+    advance = walk & ~err
+
+    out_ref[:, _K_T, :] = jnp.where(advance, t2, t0)
+    out_ref[:, _K_U, :] = jnp.where(advance, u2, u0)
+    out_ref[:, _K_V, :] = jnp.where(advance, v2, v0)
+    out_ref[:, _K_CF, :] = jnp.where(advance, nf, cf)
+    out_ref[:, _K_CT, :] = jnp.where(advance, nt, ct)
+    out_ref[:, _K_LOGT, :] = log_T
+    out_ref[:, _K_TCUR, :] = T_cur
+    out_ref[:, _K_PLT, :] = prev_log_T
+    out_ref[:, _K_CR, :] = s(_K_CR) + col[0] * w
+    out_ref[:, _K_CG, :] = s(_K_CG) + col[1] * w
+    out_ref[:, _K_CB, :] = s(_K_CB) + col[2] * w
+    out_ref[:, _K_D, :] = s(_K_D) + dep * w
+    out_ref[:, _K_LF, :] = jnp.where(alive, cf, s(_K_LF))
+    out_ref[:, _K_LT, :] = jnp.where(alive, ct, s(_K_LT))
+    out_ref[:, _K_NC, :] = s(_K_NC) + aliv_f
+    out_ref[:, _K_ACT, :] = active.astype(jnp.float32)
+    out_ref[:, _K_DONE, :] = ((s(_K_DONE) != 0.0)
+                              | newly_done).astype(jnp.float32)
+
+
+def _bwd_march_kernel(pack_ref, shade_ref, consts_ref, state_ref, out_ref):
+    """One backward march step (backward.cu:235-486) in one fused pass.
+
+    Emits the per-ray gradient record rows (_NREC) after the state rows:
+    9 vertex-color contributions (vert-major) and dL/d(face opacity); the
+    XLA side scatter-adds them into the per-face [F, 10] accumulator."""
+    s = lambda r: state_ref[:, r, :]
+    c = lambda r: consts_ref[:, r, :]
+    alive = s(_B_DONE) == 0.0
+    cf, ct = s(_B_CF), s(_B_CT)
+    i1, i2 = s(_B_U), s(_B_V)
+    i0 = 1.0 - i1 - i2
+    t0 = s(_B_T)
+
+    alpha = _shade_col(shade_ref, 9)
+    l1a = _shade_col(shade_ref, 10)
+    inten = _shade_col(shade_ref, 11)
+    col = [
+        (i0 * _shade_col(shade_ref, ch)
+         + i1 * _shade_col(shade_ref, 3 + ch)
+         + i2 * _shade_col(shade_ref, 6 + ch)) * inten
+        for ch in range(3)
+    ]
+    dep = (c(_C_POZ) + t0 * c(_C_PDZ)) / clamp_w(c(_C_POW) + t0 * c(_C_PDW))
+
+    # reconstruct prev transmittance (backward.cu:273-277); log(1-alpha)
+    # comes precomputed from the shade table
+    first0 = s(_B_FIRST) != 0.0
+    plt = jnp.where(alive & ~first0, s(_B_PLT) - l1a, s(_B_PLT))
+    first = first0 & ~alive
+    prev_T = jnp.exp(plt)
+
+    la = s(_B_LA)
+    acc_r_new = la * s(_B_LCR) + (1.0 - la) * s(_B_AR)
+    acc_g_new = la * s(_B_LCG) + (1.0 - la) * s(_B_AG)
+    acc_b_new = la * s(_B_LCB) + (1.0 - la) * s(_B_AB)
+    acc_d_new = la * s(_B_LD) + (1.0 - la) * s(_B_AD)
+
+    dL_dop = (
+        ((col[0] - acc_r_new) * c(_C_GCR)
+         + (col[1] - acc_g_new) * c(_C_GCG)
+         + (col[2] - acc_b_new) * c(_C_GCB))
+        + (dep - acc_d_new) * c(_C_GD)
+    ) * prev_T
+
+    # background term (backward.cu:317-339)
+    bg_coef = jnp.where(
+        alpha == 1.0,
+        -c(_C_FPT),
+        -c(_C_FT) / jnp.maximum(1.0 - alpha, 1e-37),
+    )
+    dL_dop = jnp.where(alive, dL_dop + bg_coef * c(_C_BGD), 0.0)
+
+    # per-face gradient record: dL_dvcolor contribution of vertex v,
+    # channel ch is gc_ch * alpha * prev_T * bary_v * inten (masked lanes
+    # contribute zeros)
+    wmask = jnp.where(alive, inten * prev_T * alpha, 0.0)
+    bary = (i0, i1, i2)
+    gc = (c(_C_GCR), c(_C_GCG), c(_C_GCB))
+    for v in range(3):
+        for ch in range(3):
+            out_ref[:, _NSB + v * 3 + ch, :] = wmask * bary[v] * gc[ch]
+    out_ref[:, _NSB + 9, :] = dL_dop
+
+    # terminate at the first face (backward.cu:363-366)
+    newly_done = alive & (cf == c(_C_FF))
+    no_tet = alive & ~newly_done & (ct == -1.0)
+    newly_done = newly_done | no_tet
+
+    # walk backward (backward.cu:372-484)
+    walk = alive & ~newly_done
+    err, nf, nt, t2, u2, v2 = _connectivity_step(
+        lambda k: pack_ref[:, k, :], cf,
+        c(_C_OX), c(_C_OY), c(_C_OZ), c(_C_DX), c(_C_DY), c(_C_DZ), -1)
+    newly_done = newly_done | (walk & err)
+    advance = walk & ~err
+
+    out_ref[:, _B_T, :] = jnp.where(advance, t2, t0)
+    out_ref[:, _B_U, :] = jnp.where(advance, u2, i1)
+    out_ref[:, _B_V, :] = jnp.where(advance, v2, i2)
+    out_ref[:, _B_CF, :] = jnp.where(advance, nf, cf)
+    out_ref[:, _B_CT, :] = jnp.where(advance, nt, ct)
+    out_ref[:, _B_PLT, :] = jnp.where(alive, plt, s(_B_PLT))
+    out_ref[:, _B_FIRST, :] = first.astype(jnp.float32)
+    out_ref[:, _B_LA, :] = jnp.where(alive, alpha, la)
+    out_ref[:, _B_LCR, :] = jnp.where(alive, col[0], s(_B_LCR))
+    out_ref[:, _B_LCG, :] = jnp.where(alive, col[1], s(_B_LCG))
+    out_ref[:, _B_LCB, :] = jnp.where(alive, col[2], s(_B_LCB))
+    out_ref[:, _B_LD, :] = jnp.where(alive, dep, s(_B_LD))
+    out_ref[:, _B_AR, :] = jnp.where(alive, acc_r_new, s(_B_AR))
+    out_ref[:, _B_AG, :] = jnp.where(alive, acc_g_new, s(_B_AG))
+    out_ref[:, _B_AB, :] = jnp.where(alive, acc_b_new, s(_B_AB))
+    out_ref[:, _B_AD, :] = jnp.where(alive, acc_d_new, s(_B_AD))
+    out_ref[:, _B_DONE, :] = ((s(_B_DONE) != 0.0)
+                              | newly_done).astype(jnp.float32)
+
+
+def _run_march_kernel(kernel, pack_t, shade_t, consts_t, state_t, n_out):
+    """Launch one march-step kernel over the ray row-groups."""
+    from .tri_binned import _interpret
+    import jax.experimental.pallas as pl
+
+    g = state_t.shape[0]
+    bq = _pick_bq(g)
+    nc = consts_t.shape[1]
+    ns = state_t.shape[1]
+    return pl.pallas_call(
+        kernel,
+        grid=(g // bq,),
+        in_specs=[
+            pl.BlockSpec((bq, 48, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bq, 12, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bq, nc, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bq, ns, 128), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bq, n_out, 128), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, n_out, 128), jnp.float32),
+        interpret=_interpret(),
+    )(pack_t, shade_t, consts_t, state_t)
 
 
 # =============================================================================
@@ -399,7 +642,7 @@ COMPACT_MIN_SIZE = 65_536
 
 
 def _march_phase_sizes(m: int) -> list[int]:
-    # sizes stay multiples of 128 so _split_cols' lane-major relayout
+    # sizes stay multiples of 128 so _relayout lane-major layout
     # applies at every compaction level
     sizes = [m]
     while sizes[-1] // COMPACT_SHRINK >= COMPACT_MIN_SIZE:
@@ -408,13 +651,15 @@ def _march_phase_sizes(m: int) -> list[int]:
     return sizes
 
 
-def _compacted_while(per_pixel, globals_, consts, body_fn, max_steps):
-    """Run the march with periodic active-ray compaction.
+def _compacted_while(state_t, consts_t, fbase, globals_, step_fn, max_steps,
+                     cf_row, ct_row, done_row):
+    """Run the march with periodic active-ray compaction, carrying the
+    packed [G, NS, 128] state across iterations (unpacking per step would
+    cost more than the kernel saves).
 
-    per_pixel: dict of [M, ...] state arrays, must contain a monotone
-    "done" mask. globals_: dict of non-pixel state (step counter, gradient
-    accumulators). consts: dict of [M, ...] per-pixel constants (rays etc.).
-    body_fn(per_pixel, globals_, consts) -> (per_pixel, globals_).
+    step_fn(state_t, cf, ct, consts_t, fbase, globals_) -> (state_t,
+    globals_), with cf/ct the int32 [M] views of the id rows. The done
+    row must be monotone per ray (0 alive / nonzero done).
 
     Phase k loops until the alive count fits the next (8x smaller) buffer,
     then gathers the alive rays (stable: all alive pixels survive the cut
@@ -423,14 +668,21 @@ def _compacted_while(per_pixel, globals_, consts, body_fn, max_steps):
     (forward.cu:595 while-loop); on TPU the compaction gather buys the
     same "pay for live rays only" property.
     """
-    sizes = _march_phase_sizes(per_pixel["done"].shape[0])
+    ns = state_t.shape[1]
+    nc = consts_t.shape[1]
+    sizes = _march_phase_sizes(state_t.shape[0] * 128)
 
-    def run(pp, gl, cs, level):
+    def ids(st):
+        cf = st[:, cf_row, :].reshape(-1).astype(jnp.int32)
+        ct = st[:, ct_row, :].reshape(-1).astype(jnp.int32)
+        return cf, ct
+
+    def run(st, cst, fb, gl, level):
         is_last = level == len(sizes) - 1
 
         def cond(c):
-            p, g = c
-            alive = ~p["done"]
+            s, g = c
+            alive = s[:, done_row, :] == 0.0
             base = (g["step"] < max_steps) & jnp.any(alive)
             if is_last:
                 return base
@@ -439,12 +691,13 @@ def _compacted_while(per_pixel, globals_, consts, body_fn, max_steps):
             )
 
         def body(c):
-            p, g = c
-            return body_fn(p, g, cs)
+            s, g = c
+            cf, ct = ids(s)
+            return step_fn(s, cf, ct, cst, fb, g)
 
-        pp, gl = lax.while_loop(cond, body, (pp, gl))
+        st, gl = lax.while_loop(cond, body, (st, gl))
         if is_last:
-            return pp, gl
+            return st, gl
 
         # alive rays first, grouped by their current tet: rays in one tet
         # step to neighboring tets together, so this ordering makes the
@@ -452,18 +705,20 @@ def _compacted_while(per_pixel, globals_, consts, body_fn, max_steps):
         # of the march. All alive rays fit because the loop above only
         # exits below the next size (or fully done / step-capped, in which
         # case deeper phases no-op).
-        key = jnp.where(pp["done"], jnp.int32(2**30),
-                        jnp.maximum(pp["curr_tet"], 0))
+        done = st[:, done_row, :].reshape(-1) != 0.0
+        _cf, ct = ids(st)
+        key = jnp.where(done, jnp.int32(2**30), jnp.maximum(ct, 0))
         idx = jnp.argsort(key, stable=True)[:sizes[level + 1]]
-        sub_pp = jax.tree.map(lambda x: x[idx], pp)
-        sub_cs = jax.tree.map(lambda x: x[idx], cs)
-        sub_pp, gl = run(sub_pp, gl, sub_cs, level + 1)
-        pp = jax.tree.map(
-            lambda full, sub: full.at[idx].set(sub), pp, sub_pp
-        )
-        return pp, gl
+        rows = _unpack_rows(st, ns)
+        sub_st = _pack_rows([r[idx] for r in rows])
+        sub_cst = _pack_rows([r[idx] for r in _unpack_rows(cst, nc)])
+        sub_st, gl = run(sub_st, sub_cst, fbase[idx] if fb is fbase else
+                         fb[idx], gl, level + 1)
+        sub_rows = _unpack_rows(sub_st, ns)
+        rows = [full.at[idx].set(sub) for full, sub in zip(rows, sub_rows)]
+        return _pack_rows(rows), gl
 
-    return run(per_pixel, globals_, consts, 0)
+    return run(state_t, consts_t, fbase, globals_, 0)
 
 
 # =============================================================================
@@ -505,7 +760,10 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         # (vs 16 for the tri default, sized for large splats). The first-hit
         # sort/gather chain scales with this capacity; overflow is surfaced
         # by a debug warning inside first_intersection_binned.
-        kcap = default_key_capacity(B, faces.shape[0], avg_tiles_per_face=8)
+        # measured at the 98k-face bench scene: 3.3 tiles/face average
+        # (tools/profile_tet_fixed.py context); 5 leaves 1.5x headroom and
+        # overflow is surfaced by the debug warning
+        kcap = default_key_capacity(B, faces.shape[0], avg_tiles_per_face=5)
         first_face, rt, iu, iv = first_intersection_binned(
             verts, faces, pre, img, inv_mv_t[:, 3, :3], ray_d_img,
             height, width, B, kcap,
@@ -519,33 +777,11 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
 
     march = _march_tables(verts, faces, tets, tet_faces, face_tets,
                           verts_color, faces_opacity, faces_intense)
-    ph_o, ph_d = _projective_ray(ray_o, ray_d, mv_t, proj_t)
 
-    # starting tet: the side whose outward first-face normal opposes the ray
-    # (forward.cu:420-444; when both qualify the second entry wins)
-    ff_safe = jnp.maximum(first_face, 0)
-    ndot_ff = jnp.sum(
-        march["geo"][ff_safe][..., 9:12] * ray_d, axis=-1
-    )  # n-hat . d for the first face
-    ft = face_tets[ff_safe]  # [B, N, 2]
-    first_tet = jnp.full_like(first_face, -1)
-    for i in range(2):
-        cand = ft[..., i]
-        tf_c = tet_faces[jnp.maximum(cand, 0)]  # [B, N, 4]
-        match = tf_c == first_face[..., None]
-        sgn = jnp.sum(
-            jnp.where(match, march["sign"][jnp.maximum(cand, 0)], 0.0),
-            axis=-1,
-        )
-        opposes = sgn * ndot_ff < 0.0
-        take = (cand >= 0) & opposes & (first_face >= 0)
-        first_tet = jnp.where(take, cand, first_tet)
-
-    done0 = (first_face == -1) | (first_tet == -1)
-
-    # flatten to [M] and pad to a multiple of 128 (padding lanes are done
-    # from step 0): the march compacts the alive-ray set across views and
-    # the SoA column splits need lane-aligned buffers (_split_cols)
+    # flatten to [M] (padded to a multiple of 128; padding lanes are done
+    # from step 0) and split every vector quantity into clean 1-D [M]
+    # components immediately: [B, N, k] arrays pad k to 128 lanes on TPU
+    # and every op on them pays a full padded pass (see _relayout)
     M0 = B * N
     pad = (-M0) % 128
     M = M0 + pad
@@ -560,135 +796,96 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
 
     fbase = jnp.minimum(jnp.arange(M, dtype=jnp.int32) // N, B - 1) * F
 
-    rof, rdf = flat(ray_o), flat(ray_d)
-    phof, phdf = flat(ph_o), flat(ph_d)
-    consts = dict(
-        rox=rof[:, 0], roy=rof[:, 1], roz=rof[:, 2],
-        rdx=rdf[:, 0], rdy=rdf[:, 1], rdz=rdf[:, 2],
-        phoz=phof[:, 2], phow=phof[:, 3],
-        phdz=phdf[:, 2], phdw=phdf[:, 3],
-        fbase=fbase,
-    )
-    per_pixel = dict(
-        curr_face=flat(first_face),
-        curr_tet=flat(first_tet),
-        curr_t=flat(rt),
-        curr_u=flat(iu),
-        curr_v=flat(iv),
-        Cr=jnp.zeros((M,), jnp.float32),
-        Cg=jnp.zeros((M,), jnp.float32),
-        Cb=jnp.zeros((M,), jnp.float32),
-        D=jnp.zeros((M,), jnp.float32),
-        log_T=jnp.zeros((M,), jnp.float32),
-        T_cur=jnp.ones((M,), jnp.float32),  # exp(log_T), carried so each
-                                            # step costs ONE exp, not two
-        prev_log_T=jnp.zeros((M,), jnp.float32),
-        last_face=jnp.full((M,), jnp.int32(-1)),
-        last_tet=jnp.full((M,), jnp.int32(-1)),
-        n_contrib=jnp.zeros((M,), jnp.int32),
-        active=jnp.zeros((M,), jnp.bool_),
-        done=flat(done0, fill=True),
-    )
+    ro = _flat_cols(flat(ray_o), 3)
+    rd = _flat_cols(flat(ray_d), 3)
+    phoz, phow, phdz, phdw = _projective_zw(ro, rd, mv_t, proj_t, N, M)
+
+    ffF = flat(first_face)
+    ff_safe = jnp.maximum(ffF, 0)
+
+    # starting tet: the side whose outward first-face normal opposes the ray
+    # (forward.cu:420-444; when both qualify the second entry wins)
+    g12 = _gather_cols(march["geo"], ff_safe, 12)
+    ndot_ff = g12[9] * rd[0] + g12[10] * rd[1] + g12[11] * rd[2]
+    ftc = _gather_cols(face_tets.astype(jnp.float32), ff_safe, 2)
+    # per-tet (face ids, outward signs) in one 8-col row
+    tfs = jnp.concatenate(
+        [tet_faces.astype(jnp.float32), march["sign"]], axis=1)  # [T, 8]
+    first_tet = jnp.full((M,), -1, jnp.int32)
+    ff_f = ffF.astype(jnp.float32)
+    for i in range(2):
+        cand = ftc[i].astype(jnp.int32)
+        c8 = _gather_cols(tfs, jnp.maximum(cand, 0), 8)
+        # at most one slot of a tet carries first_face, so the masked sum
+        # extracts that slot's sign exactly
+        sgn = sum(jnp.where(c8[j] == ff_f, c8[4 + j], 0.0)
+                  for j in range(4))
+        opposes = sgn * ndot_ff < 0.0
+        take = (cand >= 0) & opposes & (ffF >= 0)
+        first_tet = jnp.where(take, cand, first_tet)
+
+    done0 = (ffF == -1) | (first_tet == -1)
+
+    consts_t = _pack_rows([
+        ro[0], ro[1], ro[2], rd[0], rd[1], rd[2],
+        phoz, phow, phdz, phdw,
+    ])
+    f32 = lambda x: x.astype(jnp.float32)
+    zero = jnp.zeros((M,), jnp.float32)
+    state_t = _pack_rows([
+        flat(rt), flat(iu), flat(iv),
+        f32(ffF), f32(first_tet),
+        zero,                        # log_T
+        jnp.ones((M,), jnp.float32),  # T_cur = exp(log_T), carried so each
+                                      # step costs ONE exp, not two
+        zero,                        # prev_log_T
+        zero, zero, zero, zero,      # Cr Cg Cb D
+        jnp.full((M,), -1.0),        # last_face
+        jnp.full((M,), -1.0),        # last_tet
+        zero,                        # n_contrib
+        zero,                        # active
+        f32(done0 | (jnp.arange(M) >= M0)),
+    ])
     globals_ = dict(step=jnp.int32(0))
 
-    def body(s, gl, cs):
-        alive = ~s["done"]
-        cf, ct = s["curr_face"], s["curr_tet"]
-        u, v = s["curr_u"], s["curr_v"]
+    def step_fn(st, cf, ct, cst, fb, gl):
+        # XLA side: the two table gathers + physical relayouts (rays in
+        # lanes); the whole step body then runs as ONE fused Pallas pass
+        # (_fwd_march_kernel) instead of many XLA fusions over padded
+        # buffers (~2x per-step, tools/proto_march_kernel.py).
+        pack_t = _relayout(march["tet_pack"][jnp.maximum(ct, 0)], 48)
+        shade_t = _relayout(march["shade"][fb + jnp.maximum(cf, 0)], 12)
+        out = _run_march_kernel(
+            _fwd_march_kernel, pack_t, shade_t, cst, st, _NSF)
+        return out, dict(step=gl["step"] + 1)
 
-        # --- 1. blend current face (forward.cu:597-653) ---
-        c9, alpha, inten, l1a = _march_state_gather(march, cs["fbase"], cf)
-        w = jnp.where(alive, s["T_cur"] * alpha, 0.0)
-        col = [
-            (c9[ch] + (c9[3 + ch] - c9[ch]) * u
-             + (c9[6 + ch] - c9[ch]) * v) * inten
-            for ch in range(3)
-        ]
-        Cr = s["Cr"] + col[0] * w
-        Cg = s["Cg"] + col[1] * w
-        Cb = s["Cb"] + col[2] * w
-        dep = (cs["phoz"] + s["curr_t"] * cs["phdz"]) / clamp_w(
-            cs["phow"] + s["curr_t"] * cs["phdw"])
-        D = s["D"] + dep * w
+    st, _gl = _compacted_while(state_t, consts_t, fbase, globals_, step_fn,
+                               max_steps, _K_CF, _K_CT, _K_DONE)
+    rows = _unpack_rows(st, _NSF)
+    i32 = lambda x: x.astype(jnp.int32)
+    shape2 = lambda x: x[:M0].reshape(B, N)
 
-        prev_log_T = jnp.where(alive, s["log_T"], s["prev_log_T"])
-        log_T_new = jnp.where(
-            alpha < 1.0,
-            s["log_T"] + l1a,  # log(1-alpha) precomputed in the shade table
-            jnp.full_like(s["log_T"], np.log(T_EPS * 0.1)),
-        )
-        log_T = jnp.where(alive, log_T_new, s["log_T"])
-        T_cur = jnp.exp(log_T)  # the step's single transcendental
-
-        t_exhausted = T_cur < T_EPS
-
-        n_contrib = s["n_contrib"] + alive.astype(jnp.int32)
-        last_face = jnp.where(alive, cf, s["last_face"])
-        last_tet = jnp.where(alive, ct, s["last_tet"])
-
-        active = s["active"] | (alive & t_exhausted)
-        newly_done = alive & t_exhausted
-
-        # --- 2. exited the tessellation? (forward.cu:667-670) ---
-        no_tet = alive & (ct == -1)
-        active = active | no_tet
-        newly_done = newly_done | no_tet
-
-        # --- 3. walk to the next face (forward.cu:672-775) ---
-        walk = alive & ~newly_done
-        err, nf, nt, t2, u2, v2 = _step_through_tet(
-            march, cf, ct,
-            (cs["rox"], cs["roy"], cs["roz"]),
-            (cs["rdx"], cs["rdy"], cs["rdz"]), +1,
-        )
-        newly_done = newly_done | (walk & err)
-        advance = walk & ~err
-
-        return dict(
-            curr_face=jnp.where(advance, nf, cf),
-            curr_tet=jnp.where(advance, nt, ct),
-            curr_t=jnp.where(advance, t2, s["curr_t"]),
-            curr_u=jnp.where(advance, u2, s["curr_u"]),
-            curr_v=jnp.where(advance, v2, s["curr_v"]),
-            Cr=Cr,
-            Cg=Cg,
-            Cb=Cb,
-            D=D,
-            log_T=log_T,
-            T_cur=T_cur,
-            prev_log_T=prev_log_T,
-            last_face=last_face,
-            last_tet=last_tet,
-            n_contrib=n_contrib,
-            active=active,
-            done=s["done"] | newly_done,
-        ), dict(step=gl["step"] + 1)
-
-    s, _gl = _compacted_while(per_pixel, globals_, consts, body, max_steps)
-    s = {k: v[:M0].reshape((B, N) + v.shape[1:]) for k, v in s.items()}
-    s["C"] = jnp.stack([s.pop("Cr"), s.pop("Cg"), s.pop("Cb")], axis=-1)
-
-    final_T = jnp.exp(s["log_T"])
-    active = s["active"]
-    color = jnp.where(
-        active[..., None],
-        s["C"] + final_T[..., None] * bg[None, None, :],
-        jnp.broadcast_to(bg[None, None, :], (B, N, 3)),
-    )
-    depth = jnp.where(active, s["D"] + final_T * 1.0, 1.0)
-
-    color = color.reshape(B, height, width, 3).transpose(0, 3, 1, 2)
-    depth = depth.reshape(B, 1, height, width)
-    active_img = active.reshape(B, height, width)
+    final_T = jnp.exp(rows[_K_LOGT])  # [M]
+    act = rows[_K_ACT] != 0.0
+    # channel-major assembly: every op on clean [M] vectors, then one
+    # stack to the [B, 3, H, W] output layout
+    col = [jnp.where(act, rows[[_K_CR, _K_CG, _K_CB][ch]]
+                     + final_T * bg[ch], bg[ch])[:M0].reshape(B, height,
+                                                              width)
+           for ch in range(3)]
+    color = jnp.stack(col, axis=1)  # [B, 3, H, W]
+    depth = jnp.where(act, rows[_K_D] + final_T * 1.0,
+                      1.0)[:M0].reshape(B, 1, height, width)
+    active_img = act[:M0].reshape(B, height, width)
 
     saved = dict(
         first_face=first_face,
-        last_face=s["last_face"],
-        last_tet=s["last_tet"],
-        final_log_T=s["log_T"],
-        final_prev_log_T=s["prev_log_T"],
-        n_contrib=s["n_contrib"],
-        is_active=active,
+        last_face=i32(shape2(rows[_K_LF])),
+        last_tet=i32(shape2(rows[_K_LT])),
+        final_log_T=shape2(rows[_K_LOGT]),
+        final_prev_log_T=shape2(rows[_K_PLT]),
+        n_contrib=i32(shape2(rows[_K_NC])),
+        is_active=shape2(rows[_K_ACT]) != 0.0,
     )
     return color, depth, active_img, saved
 
@@ -715,43 +912,14 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
         inv_mv_t, inv_proj_t, width, height, norm_eps_mode="tet",
         jitter_seed=seed if seed > 0 else None,
     )
-    ray_o = ray_o.reshape(B, N, 3)
-    ray_d = ray_d.reshape(B, N, 3)
-    ph_o, ph_d = _projective_ray(ray_o, ray_d, mv_t, proj_t)
 
-    gcol = dL_dcolor.transpose(0, 2, 3, 1).reshape(B, N, 3)
-    gdep = dL_ddepth.reshape(B, N)
-    bg_dot = jnp.einsum("c,bpc->bp", bg, gcol) + gdep  # bg + depth-bg terms
-
-    final_log_T = saved["final_log_T"]
-    final_prev_log_T = saved["final_prev_log_T"]
-    final_T = jnp.exp(final_log_T)
-    final_prev_T = jnp.exp(final_prev_log_T)
-
-    last_face = saved["last_face"]
-    last_tet = saved["last_tet"]
-    first_face = saved["first_face"]
-
-    done0 = (~saved["is_active"]) | (last_face == -1)
-
-    # recompute (t, u, v) on the last face
-    lf_safe = jnp.maximum(last_face, 0)
-    p = verts[faces[lf_safe]]
-    tuv, _nd = ray_tri_intersection(
-        ray_o, ray_d, p[..., 0, :], p[..., 1, :], p[..., 2, :]
-    )
-
-    # flip to the entry-side tet (backward.cu:224-232: first face_tets entry
-    # that differs from last_tet)
-    ft = face_tets[lf_safe]
-    curr_tet0 = jnp.where(ft[..., 0] != last_tet, ft[..., 0], ft[..., 1])
-
-    # flatten to [M] (padded to a multiple of 128; see the forward) for
-    # active-ray compaction. Gradients accumulate per FACE in a [F, 10]
-    # table in globals_ (untouched by compaction): one fused [M]-row
-    # scatter per step instead of the [M, 3]-row vertex scatter + [M]-row
-    # opacity scatter of the direct form (2.6x cheaper, row-count-bound);
-    # the face table expands to vertex/opacity grads once at the end.
+    # flatten to [M] (padded; see the forward) and work on clean 1-D
+    # component vectors throughout. Gradients accumulate per FACE in a
+    # [F, 10] table in globals_ (untouched by compaction): one fused
+    # [M]-row scatter per step instead of the [M, 3]-row vertex scatter +
+    # [M]-row opacity scatter of the direct form (2.6x cheaper,
+    # row-count-bound); the face table expands to vertex/opacity grads
+    # once at the end.
     M0 = B * N
     pad = (-M0) % 128
     M = M0 + pad
@@ -765,153 +933,93 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
 
     fbase = jnp.minimum(jnp.arange(M, dtype=jnp.int32) // N, B - 1) * F
 
-    rof, rdf = flat(ray_o), flat(ray_d)
-    phof, phdf = flat(ph_o), flat(ph_d)
-    gcolf = flat(gcol)
-    consts = dict(
-        rox=rof[:, 0], roy=rof[:, 1], roz=rof[:, 2],
-        rdx=rdf[:, 0], rdy=rdf[:, 1], rdz=rdf[:, 2],
-        phoz=phof[:, 2], phow=phof[:, 3],
-        phdz=phdf[:, 2], phdw=phdf[:, 3],
-        fbase=fbase,
-        gcr=gcolf[:, 0], gcg=gcolf[:, 1], gcb=gcolf[:, 2],
-        gdep=flat(gdep), bg_dot=flat(bg_dot),
-        final_T=flat(final_T), final_prev_T=flat(final_prev_T),
-        first_face=flat(first_face),
-    )
-    per_pixel = dict(
-        curr_face=flat(last_face),
-        curr_tet=flat(curr_tet0),
-        curr_t=flat(tuv[..., 0]),
-        curr_u=flat(tuv[..., 1]),
-        curr_v=flat(tuv[..., 2]),
-        prev_log_T=flat(final_prev_log_T),
-        first=jnp.ones((M,), jnp.bool_),
-        last_alpha=jnp.zeros((M,), jnp.float32),
-        last_cr=jnp.zeros((M,), jnp.float32),
-        last_cg=jnp.zeros((M,), jnp.float32),
-        last_cb=jnp.zeros((M,), jnp.float32),
-        last_depth=jnp.zeros((M,), jnp.float32),
-        acc_r=jnp.zeros((M,), jnp.float32),
-        acc_g=jnp.zeros((M,), jnp.float32),
-        acc_b=jnp.zeros((M,), jnp.float32),
-        acc_d=jnp.zeros((M,), jnp.float32),
-        done=flat(done0, fill=True),
-    )
+    ro = _flat_cols(flat(ray_o.reshape(B, N, 3)), 3)
+    rd = _flat_cols(flat(ray_d.reshape(B, N, 3)), 3)
+    phoz, phow, phdz, phdw = _projective_zw(ro, rd, mv_t, proj_t, N, M)
+
+    gc = [flat(dL_dcolor[:, ch].reshape(B, N)) for ch in range(3)]
+    gdep = flat(dL_ddepth.reshape(B, N))
+    bg_dot = bg[0] * gc[0] + bg[1] * gc[1] + bg[2] * gc[2] + gdep
+
+    lfF = flat(saved["last_face"])
+    ltF = flat(saved["last_tet"])
+    ffF = flat(saved["first_face"])
+    lf_safe = jnp.maximum(lfF, 0)
+
+    final_log_T = flat(saved["final_log_T"])
+    final_prev_log_T = flat(saved["final_prev_log_T"])
+    final_T = jnp.exp(final_log_T)
+    final_prev_T = jnp.exp(final_prev_log_T)
+
+    done0 = (~flat(saved["is_active"], fill=True)) | (lfF == -1) \
+        | (jnp.arange(M) >= M0)
+
+    # recompute (t, u, v) on the last face: Moller-Trumbore on the
+    # precomputed face geometry rows (identical arithmetic to
+    # geometry.ray_tri_intersection -- geo carries p0, e1 = p1 - p0,
+    # e2 = p2 - p0 built with the same subtractions)
+    g12 = _gather_cols(march["geo"], lf_safe, 12)
+    p0x, p0y, p0z = g12[0], g12[1], g12[2]
+    e1x, e1y, e1z = g12[3], g12[4], g12[5]
+    e2x, e2y, e2z = g12[6], g12[7], g12[8]
+    tvx, tvy, tvz = ro[0] - p0x, ro[1] - p0y, ro[2] - p0z
+    pvx = rd[1] * e2z - rd[2] * e2y
+    pvy = rd[2] * e2x - rd[0] * e2z
+    pvz = rd[0] * e2y - rd[1] * e2x
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    denom = pvx * e1x + pvy * e1y + pvz * e1z
+    inv = 1.0 / jnp.where(denom != 0.0, denom, 1.0)
+    t0 = (qvx * e2x + qvy * e2y + qvz * e2z) * inv
+    u0 = (pvx * tvx + pvy * tvy + pvz * tvz) * inv
+    v0 = (qvx * rd[0] + qvy * rd[1] + qvz * rd[2]) * inv
+
+    # flip to the entry-side tet (backward.cu:224-232: first face_tets
+    # entry that differs from last_tet)
+    ftc = _gather_cols(face_tets.astype(jnp.float32), lf_safe, 2)
+    lt_f = ltF.astype(jnp.float32)
+    curr_tet0 = jnp.where(ftc[0] != lt_f, ftc[0], ftc[1])
+
+    f32 = lambda x: x.astype(jnp.float32)
+    consts_t = _pack_rows([
+        ro[0], ro[1], ro[2], rd[0], rd[1], rd[2],
+        phoz, phow, phdz, phdw,
+        gc[0], gc[1], gc[2], gdep, bg_dot, final_T, final_prev_T,
+        f32(ffF),
+    ])
+    zero = jnp.zeros((M,), jnp.float32)
+    state_t = _pack_rows([
+        t0, u0, v0,
+        f32(lfF), curr_tet0,
+        final_prev_log_T,
+        jnp.ones((M,), jnp.float32),  # first
+        zero,                         # last_alpha
+        zero, zero, zero, zero,       # last_cr/cg/cb/depth
+        zero, zero, zero, zero,       # acc_r/g/b/d
+        f32(done0),
+    ])
     globals_ = dict(
         step=jnp.int32(0),
         face_acc=jnp.zeros((F, 10), jnp.float32),
     )
 
-    def body(s, gl, cs):
-        alive = ~s["done"]
-        cf, ct = s["curr_face"], s["curr_tet"]
-
-        c9, alpha, inten, l1a = _march_state_gather(march, cs["fbase"], cf)
-        i1 = s["curr_u"]
-        i2 = s["curr_v"]
-        i0 = 1.0 - i1 - i2
-        col = [
-            (i0 * c9[ch] + i1 * c9[3 + ch] + i2 * c9[6 + ch]) * inten
-            for ch in range(3)
-        ]
-        dep = (cs["phoz"] + s["curr_t"] * cs["phdz"]) / clamp_w(
-            cs["phow"] + s["curr_t"] * cs["phdw"])
-
-        # reconstruct prev transmittance (backward.cu:273-277); log(1-alpha)
-        # comes precomputed from the shade table
-        plt = jnp.where(
-            alive & ~s["first"],
-            s["prev_log_T"] - l1a,
-            s["prev_log_T"],
-        )
-        first = s["first"] & ~alive
-        prev_T = jnp.exp(plt)
-
-        la = s["last_alpha"]
-        acc_r_new = la * s["last_cr"] + (1.0 - la) * s["acc_r"]
-        acc_g_new = la * s["last_cg"] + (1.0 - la) * s["acc_g"]
-        acc_b_new = la * s["last_cb"] + (1.0 - la) * s["acc_b"]
-        acc_d_new = la * s["last_depth"] + (1.0 - la) * s["acc_d"]
-
-        ap = alpha * prev_T
-        dL_dop = (
-            ((col[0] - acc_r_new) * cs["gcr"]
-             + (col[1] - acc_g_new) * cs["gcg"]
-             + (col[2] - acc_b_new) * cs["gcb"])
-            + (dep - acc_d_new) * cs["gdep"]
-        ) * prev_T
-
-        # background term (backward.cu:317-339)
-        bg_coef = jnp.where(
-            alpha == 1.0,
-            -cs["final_prev_T"],
-            -cs["final_T"] / jnp.maximum(1.0 - alpha, 1e-37),
-        )
-        dL_dop = dL_dop + bg_coef * cs["bg_dot"]
-        dL_dop = jnp.where(alive, dL_dop, 0.0)
-
-        acc_r = jnp.where(alive, acc_r_new, s["acc_r"])
-        acc_g = jnp.where(alive, acc_g_new, s["acc_g"])
-        acc_b = jnp.where(alive, acc_b_new, s["acc_b"])
-        acc_d = jnp.where(alive, acc_d_new, s["acc_d"])
-        last_cr = jnp.where(alive, col[0], s["last_cr"])
-        last_cg = jnp.where(alive, col[1], s["last_cg"])
-        last_cb = jnp.where(alive, col[2], s["last_cb"])
-        last_depth = jnp.where(alive, dep, s["last_depth"])
-        last_alpha = jnp.where(alive, alpha, s["last_alpha"])
-
-        # per-face gradient record: dL_dvcolor contribution of vertex v,
-        # channel ch is gc_ch * alpha * prev_T * bary_v * inten
-        # (masked lanes contribute zeros at face 0)
-        wmask = jnp.where(alive, inten * prev_T * alpha, 0.0)
-        bary = (i0, i1, i2)
-        rec = jnp.stack(
-            [wmask * bary[v] * (cs["gcr"], cs["gcg"], cs["gcb"])[ch]
-             for v in range(3) for ch in range(3)]
-            + [dL_dop],
-            axis=-1,
-        )  # [M, 10]
+    def step_fn(st, cf, ct, cst, fb, gl):
+        # gathers + relayouts in XLA, then one fused Pallas pass for the
+        # whole reverse step; the kernel appends per-ray gradient record
+        # rows which are scatter-added into the per-face accumulator here.
+        pack_t = _relayout(march["tet_pack"][jnp.maximum(ct, 0)], 48)
+        shade_t = _relayout(march["shade"][fb + jnp.maximum(cf, 0)], 12)
+        out = _run_march_kernel(
+            _bwd_march_kernel, pack_t, shade_t, cst, st, _NSB + _NREC)
+        rec = out[:, _NSB:_NSB + _NREC, :].swapaxes(1, 2).reshape(-1, _NREC)
         face_acc = gl["face_acc"].at[jnp.maximum(cf, 0)].add(
             rec, mode="drop")
+        return out[:, :_NSB, :], dict(step=gl["step"] + 1,
+                                      face_acc=face_acc)
 
-        # terminate at the first face (backward.cu:363-366)
-        reached_first = alive & (cf == cs["first_face"])
-        newly_done = reached_first
-
-        # walk backward (backward.cu:372-484)
-        no_tet = alive & ~newly_done & (ct == -1)
-        newly_done = newly_done | no_tet
-        walk = alive & ~newly_done
-        err, nf, nt, t2, u2, v2 = _step_through_tet(
-            march, cf, ct,
-            (cs["rox"], cs["roy"], cs["roz"]),
-            (cs["rdx"], cs["rdy"], cs["rdz"]), -1,
-        )
-        newly_done = newly_done | (walk & err)
-        advance = walk & ~err
-
-        return dict(
-            curr_face=jnp.where(advance, nf, cf),
-            curr_tet=jnp.where(advance, nt, ct),
-            curr_t=jnp.where(advance, t2, s["curr_t"]),
-            curr_u=jnp.where(advance, u2, s["curr_u"]),
-            curr_v=jnp.where(advance, v2, s["curr_v"]),
-            prev_log_T=jnp.where(alive, plt, s["prev_log_T"]),
-            first=first,
-            last_alpha=last_alpha,
-            last_cr=last_cr,
-            last_cg=last_cg,
-            last_cb=last_cb,
-            last_depth=last_depth,
-            acc_r=acc_r,
-            acc_g=acc_g,
-            acc_b=acc_b,
-            acc_d=acc_d,
-            done=s["done"] | newly_done,
-        ), dict(step=gl["step"] + 1, face_acc=face_acc)
-
-    _s, gl = _compacted_while(per_pixel, globals_, consts, body, max_steps)
+    _st, gl = _compacted_while(state_t, consts_t, fbase, globals_, step_fn,
+                               max_steps, _B_CF, _B_CT, _B_DONE)
 
     # expand the per-face table: vertex color grads via one F-scale
     # scatter over the face->vertex map; opacity grads are column 9
