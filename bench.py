@@ -23,7 +23,7 @@ import numpy as np
 
 # ms/frame fwd+bwd recorded at the end of round 1 (for vs_baseline tracking)
 # Metric definition: full backward (all 5 gradients, as the reference
-# always computes). Round-1 record below; round-2 value for reference: 108.3.
+# always computes). Round-1 record below; round-2 value for reference: 98.7.
 BENCH_HISTORY_MS = 402.6  # round 1, TPU v5e single chip
 
 
@@ -40,8 +40,9 @@ def _build(n_tris, n_views, height, width, seed=0):
 
 
 def bench_tri_scaled(n_tris=100_000, height=800, width=800, n_views=1,
-                     iters=3, kcap=1_408_000, chain=4):
-    # kcap: the bench scene emits 1,232,005 (face, tile) pairs (measured;
+                     iters=3, kcap=896_000, chain=4):
+    # kcap: the bench scene emits 770,003 (face, tile) pairs under the
+    # exact-coverage emission (1,232,005 bbox pairs before culling;
     # overflow flag verified False) -- 1.408M gives 14% headroom. Every
     # prepare/reduce stage scales with this capacity; users size theirs the
     # same way via render_tri(..., return_aux=True).

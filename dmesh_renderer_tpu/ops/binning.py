@@ -7,11 +7,17 @@ XLA-native replacement for the reference's host-orchestrated pipeline
   D2H readback of num_rendered + realloc   -> static key capacity KCAP with an
                                               overflow indicator (no host sync
                                               under jit)
-  duplicateWithKeys kernel                 -> vectorized slot->face inversion
-                                              via boundary-scatter + cummax
-                                              forward fills (each slot derives
-                                              its owning face, instead of each
-                                              face writing its slots)
+  duplicateWithKeys kernel                 -> EXACT-coverage emission: one
+                                              slot per (face, tile) whose
+                                              conservative corner test passes
+                                              (the reference emits the full
+                                              bbox rect, ~1.6x more pairs at
+                                              100k tris; images identical --
+                                              culled pairs cover no pixel).
+                                              Slots derive their owning
+                                              (face, tile-row) run via
+                                              boundary-scatter + cummax
+                                              forward fills
   CUB radix sort on packed (tile|depth)    -> per-view *face* pre-sort by
                                               depth (F-scale, cheap), then a
                                               single-key stable lax.sort of
@@ -85,8 +91,86 @@ def _fill_from_boundaries(positions: Array, values: Array, kcap: int) -> Array:
     return lax.cummax(marks)
 
 
+def _gather_cols(tab: Array, idx: Array, k: int):
+    """Row-gather [len(idx), k] and split into clean 1-D columns (the
+    [N, k] result pads k to 128 lanes; one physical relayout makes each
+    column contiguous -- same trick as tet._relayout)."""
+    rows = tab[idx]
+    n = rows.shape[0]
+    if n % 128 == 0 and n >= 128:
+        r = lax.optimization_barrier(
+            rows.reshape(n // 128, 128, k).swapaxes(1, 2))
+        return [r[:, c, :].reshape(n) for c in range(k)]
+    return [rows[:, c] for c in range(k)]
+
+
+def _row_tile_interval(ea, eb, ec, rx, nx, tyf, tile_px, grid_x):
+    """Conservative tile interval [lo, lo+cnt) of one tile row.
+
+    For each coverage edge, s(p) = A px + B py + C must be < 0 at some
+    pixel sample for the tile to be covered (in_tri semantics; the bias
+    already rides in C). s is affine, so min over the tile's pixel-sample
+    box is attained at a corner; the triangle is convex, so per tile row
+    the passing tx form an interval cut by three half-line bounds. All in
+    f32 with margins sized so rounding can only WIDEN the interval: a
+    covered tile is never culled (magnitudes reach ~2^32 for off-screen
+    vertices, so the margin is 512 absolute plus a relative term).
+
+    ea/eb/ec: length-3 tuples of f32 arrays (one per edge); rx/nx: f32
+    bbox-rect origin/width; tyf: f32 tile row. Returns (lo f32, cnt f32).
+    """
+    ts = 16.0 * tile_px
+    lof = rx
+    hif = rx + nx - 1.0
+    empty = jnp.zeros(tyf.shape, bool)
+    for e in range(3):
+        a, b, c = ea[e], eb[e], ec[e]
+        ox = jnp.where(a > 0, 8.0, ts - 16.0 + 8.0)
+        oy = jnp.where(b > 0, 8.0, ts - 16.0 + 8.0)
+        h = a * ox + b * (ts * tyf + oy) + c
+        eps = 512.0 + 1e-6 * (jnp.abs(a) * ts + jnp.abs(b * (ts * tyf + oy))
+                              + jnp.abs(c))
+        g = a * ts
+        bound = jnp.clip((eps - h) / jnp.where(g == 0.0, 1.0, g),
+                         -2.0, grid_x + 2.0)
+        # division error on tile-scale bounds is < 1e-4; the 1e-3 bias
+        # rounds strictly outward (over-keep), never inward
+        hif = jnp.where(g > 0, jnp.minimum(hif, jnp.floor(bound + 1e-3)),
+                        hif)
+        lof = jnp.where(g < 0, jnp.maximum(lof, jnp.ceil(bound - 1e-3)),
+                        lof)
+        empty = empty | ((g == 0.0) & (h >= eps))
+    lof = jnp.maximum(lof, rx)
+    hif = jnp.minimum(hif, rx + nx - 1.0)
+    cnt = jnp.where(empty, 0.0, jnp.maximum(hif - lof + 1.0, 0.0))
+    return lof, cnt
+
+
+def exact_tile_counts(pre: dict, grid_x: int, grid_y: int,
+                      tile_px: int) -> Array:
+    """Exact-coverage emission counts per (view, face): the number of
+    bbox-rect tiles whose conservative corner test passes (the counts the
+    exact emission path uses). [B, F] int32."""
+    eA = [a.astype(jnp.float32)[None] for a in pre["edge_a"]]
+    eB = [b.astype(jnp.float32)[None] for b in pre["edge_b"]]
+    eC = [c.astype(jnp.float32)[None] for c in pre["edge_c"]]
+    rx = pre["rect_min"][..., 0].astype(jnp.float32)[None]
+    nx = (pre["rect_max"][..., 0] - pre["rect_min"][..., 0]).astype(
+        jnp.float32)[None]
+    ry = pre["rect_min"][..., 1][None]
+    ny = (pre["rect_max"][..., 1] - pre["rect_min"][..., 1])[None]
+    r = jnp.arange(grid_y, dtype=jnp.int32)[:, None, None]
+    tyf = (ry + r).astype(jnp.float32)
+    _lo, cnt = _row_tile_interval(eA, eB, eC, rx, nx, tyf, tile_px, grid_x)
+    cnt = jnp.where(r < ny, cnt, 0.0)
+    total = jnp.sum(cnt, axis=0).astype(jnp.int32)
+    return jnp.where(
+        (pre["tiles"] > 0) & pre["nondeg"], total, 0)
+
+
 def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
-                  sort_by: str = "depth") -> BinnedKeys:
+                  sort_by: str = "depth",
+                  tile_px: int | None = None) -> BinnedKeys:
     """Build the sorted (tile, depth) key table.
 
     pre: output of geometry.preprocess_faces (tiles, rect_min/max, depth,
@@ -103,6 +187,9 @@ def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
     that degrades most gracefully.) A face straddling the cut keeps the
     row-major head of its tile rect.
     """
+    if tile_px is not None and "edge_a" in pre:
+        return _emit_exact(pre, grid_x, grid_y, kcap, sort_by, tile_px)
+
     tiles = pre["tiles"]  # [B, F]
     B, F = tiles.shape
     n_tiles = grid_x * grid_y
@@ -189,6 +276,142 @@ def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
         ends=ends,
         total=total,
         overflow=total > kcap,
+    )
+
+
+def _run_capacity(bf: int, kcap: int) -> int:
+    """Static capacity of the (face, tile-row) run table."""
+    cap = max(1024, min(max(4 * bf, kcap // 4), _MAX_BF - 128))
+    return ((cap + 127) // 128) * 128
+
+
+def _emit_exact(pre: dict, grid_x: int, grid_y: int, kcap: int,
+                sort_by: str, tile_px: int) -> BinnedKeys:
+    """Exact-coverage emission: one slot per (face, tile) pair whose
+    conservative corner test passes (vs the bbox rect, which over-emits
+    ~1.6x at the 100k-tri bench -- thin/diagonal triangles touch far fewer
+    tiles than their bbox). Images are identical by construction: the test
+    only culls tiles where no pixel sample can pass in_tri (see
+    _row_tile_interval); every culled pair would have contributed zero
+    coverage in the kernels.
+
+    Emission decomposes into per-(face, tile-row) RUNS: a triangle is
+    convex, so the passing tiles of one row form a contiguous interval and
+    a run's tile ids are consecutive. The run table (capacity
+    _run_capacity) is built by the same boundary-scatter + cummax fills as
+    the slots; the slot fills then scatter from run scale (~4x fewer
+    source rows than slots). Order stays (depth-sorted face, row, tx), so
+    per-tile sequences keep the reference's stable-sort parity and the
+    overflow drop policy stays farthest-first.
+    """
+    tiles = pre["tiles"]  # [B, F] bbox counts (mask only)
+    B, F = tiles.shape
+    n_tiles = grid_x * grid_y
+    if B * F >= _MAX_BF:
+        raise ValueError(
+            f"B*F = {B * F} exceeds the 2^21 emission-rank budget of the "
+            "packed forward fill; shard views or faces first")
+    if kcap >= _MAX_BF:
+        raise ValueError(
+            f"kcap = {kcap} exceeds the 2^21 slot budget of the packed "
+            "run fill; shard views first")
+    if grid_x > 1023 or grid_y > 1023:
+        raise ValueError("tile grid dims must fit 10 bits")
+
+    cnt_face = exact_tile_counts(pre, grid_x, grid_y, tile_px)  # [B, F]
+
+    # --- per-view face pre-sort by depth (F-scale) ---
+    depth = pre["min_depth" if sort_by == "min_depth" else "depth"]
+    sort_key = jnp.where(cnt_face > 0, depth, jnp.float32(jnp.inf))
+    iota_f = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None], (B, F))
+    _, sigma_v = lax.sort((sort_key, iota_f), dimension=1, num_keys=1,
+                          is_stable=True)
+    sigma = (sigma_v
+             + jnp.arange(B, dtype=jnp.int32)[:, None] * F).reshape(-1)
+
+    ta = lambda x: jnp.take_along_axis(x, sigma_v, axis=1).reshape(-1)
+    cnt_s = ta(cnt_face)
+    f32 = lambda x: x.astype(jnp.float32)
+    ftab = jnp.stack(
+        [f32(ta(a)) for a in pre["edge_a"]]
+        + [f32(ta(b)) for b in pre["edge_b"]]
+        + [f32(ta(c)) for c in pre["edge_c"]]
+        + [f32(ta(pre["rect_min"][..., 0])),
+           f32(ta(pre["rect_max"][..., 0] - pre["rect_min"][..., 0])),
+           f32(ta(pre["rect_min"][..., 1])),
+           f32(ta(pre["rect_max"][..., 1] - pre["rect_min"][..., 1]))],
+        axis=-1,
+    )  # [B*F, 13]: A(3) B(3) C(3) rx nx ry ny
+
+    # --- run (face, rect-row) table ---
+    ny_eff = jnp.where(cnt_s > 0, ta(
+        pre["rect_max"][..., 1] - pre["rect_min"][..., 1]), 0)
+    row_incl = jnp.cumsum(ny_eff)
+    row_excl = (row_incl - ny_eff).astype(jnp.int32)
+    rtotal = row_incl[-1].astype(jnp.int32)
+    nr_cap = _run_capacity(B * F, kcap)
+    row_overflow = rtotal > nr_cap
+
+    q = jnp.arange(B * F, dtype=jnp.int32)
+    qmark = jnp.where(ny_eff > 0, row_excl, nr_cap)
+    runq = _fill_from_boundaries(qmark, q, nr_cap)
+    run_rowstart = _fill_from_boundaries(qmark, row_excl, nr_cap)
+    ridx = jnp.arange(nr_cap, dtype=jnp.int32) - run_rowstart
+
+    fc = _gather_cols(ftab, runq, 13)
+    tyf = fc[11] + ridx.astype(jnp.float32)
+    lo_f, cnt_f = _row_tile_interval(
+        fc[0:3], fc[3:6], fc[6:9], fc[9], fc[10], tyf, tile_px, grid_x)
+    run_ok = ((jnp.arange(nr_cap, dtype=jnp.int32)
+               < jnp.minimum(rtotal, nr_cap))
+              & (ridx.astype(jnp.float32) < fc[12]))
+    rcnt = jnp.where(run_ok, cnt_f, 0.0).astype(jnp.int32)
+    rlo = jnp.clip(lo_f, 0.0, grid_x - 1.0).astype(jnp.int32)
+    rty = jnp.clip(tyf, 0.0, grid_y - 1.0).astype(jnp.int32)
+
+    incl = jnp.cumsum(rcnt)
+    excl = (incl - rcnt).astype(jnp.int32)
+    total = incl[-1].astype(jnp.int32) if rcnt.size else jnp.int32(0)
+
+    # --- slot fills from run scale ---
+    spos = jnp.where(rcnt > 0, excl, kcap)
+    fill_a = _fill_from_boundaries(spos, (excl << 10) | rlo, kcap)
+    fill_b = _fill_from_boundaries(spos, (excl << 10) | rty, kcap)
+    run_start = fill_a >> 10
+
+    slots = jnp.arange(kcap, dtype=jnp.int32)
+    in_range = slots < total
+    tx = (fill_a & 0x3FF) + (slots - run_start)
+    ty = fill_b & 0x3FF
+    tile_id = ty * grid_x + tx
+
+    # face per slot (face-scale fill over exact per-face slot offsets)
+    f_incl = jnp.cumsum(cnt_s)
+    f_excl = (f_incl - cnt_s).astype(jnp.int32)
+    fmark = jnp.where(cnt_s > 0, f_excl, kcap)
+    bf = _fill_from_boundaries(fmark, q, kcap)
+
+    big = jnp.int32(B * n_tiles)
+    b = bf // F
+    tile_key = jnp.where(in_range, b * n_tiles + tile_id, big)
+
+    tile_key_s, bf_s = lax.sort((tile_key, bf), num_keys=1, is_stable=True)
+
+    tids = jnp.arange(B * n_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(tile_key_s, tids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(tile_key_s, tids, side="right").astype(jnp.int32)
+
+    orig = sigma[bf_s]
+    return BinnedKeys(
+        sorted_id=bf_s.astype(jnp.int32),
+        sigma=sigma.astype(jnp.int32),
+        face=(orig % F).astype(jnp.int32),
+        batch=(orig // F).astype(jnp.int32),
+        tile_key=tile_key_s,
+        starts=starts,
+        ends=ends,
+        total=total,
+        overflow=(total > kcap) | row_overflow,
     )
 
 

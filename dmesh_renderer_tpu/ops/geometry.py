@@ -346,6 +346,41 @@ def face_outward_normal(p0: Array, p1: Array, p2: Array, tet_center: Array) -> A
 # Face preprocessing (cull + depth keys + tile bbox)
 # =============================================================================
 
+def face_edge_coeffs(verts_image: Array, faces: Array):
+    """Fixed-point coverage edge coefficients per (view, face).
+
+    Returns (A, B, C, nondeg): A/B/C are length-3 tuples of [B, F] int32
+    arrays such that a pixel sample p (in 16x-subpixel coords, see
+    in_tri/auxiliary.h:179-243) is covered iff A_e*px + B_e*py + C_e < 0
+    for all three edges (the top-left-rule bias is folded into C, and the
+    winding is normalized CCW exactly as in_tri does). Shared by the
+    binned renderer's attribute tables and the exact tile-coverage
+    emission test so both use identical arithmetic."""
+    im = verts_image[:, faces, :]  # [B, F, 3, 2]
+    xi = (im[..., 0] * 16.0).astype(jnp.int32)  # C truncation toward zero
+    yi = (im[..., 1] * 16.0).astype(jnp.int32)
+    x1, x2, x3 = xi[..., 0], xi[..., 1], xi[..., 2]
+    y1, y2, y3 = yi[..., 0], yi[..., 1], yi[..., 2]
+
+    area = (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)
+    neg = area < 0
+    x2s = jnp.where(neg, x3, x2)
+    y2s = jnp.where(neg, y3, y2)
+    x3s = jnp.where(neg, x2, x3)
+    y3s = jnp.where(neg, y2, y3)
+
+    def edge(xa, ya, xb, yb):
+        cx = xa - xb
+        cy = ya - yb
+        bias = ((cy > 0) | ((cy == 0) & (cx > 0))).astype(jnp.int32)
+        return -cy, cx, cy * xa - cx * ya - bias
+
+    A1, B1, C1 = edge(x1, y1, x2s, y2s)
+    A2, B2, C2 = edge(x2s, y2s, x3s, y3s)
+    A3, B3, C3 = edge(x3s, y3s, x1, y1)
+    return (A1, A2, A3), (B1, B2, B3), (C1, C2, C3), area != 0
+
+
 def preprocess_faces(
     verts_ndc: Array,
     verts_image: Array,
@@ -406,6 +441,8 @@ def preprocess_faces(
     valid = z_ok & (tiles > 0)
     tiles = jnp.where(valid, tiles, 0)
 
+    eA, eB, eC, nondeg = face_edge_coeffs(verts_image, faces)
+
     return {
         "depth": depth,
         "min_depth": min_depth,
@@ -414,4 +451,10 @@ def preprocess_faces(
         "rect_max": jnp.stack([rect_max_x, rect_max_y], axis=-1),
         "tiles": tiles,
         "valid": valid,
+        # coverage edge coefficients (+ degeneracy flag) for the exact
+        # tile-interval emission (binning._emit_exact)
+        "edge_a": eA,
+        "edge_b": eB,
+        "edge_c": eC,
+        "nondeg": nondeg,
     }

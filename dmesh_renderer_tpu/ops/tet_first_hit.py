@@ -175,6 +175,10 @@ def first_intersection_binned(verts, faces, pre, img, cam_o, ray_d,
     n_tiles = B * gx * gy
     cap = aligned_capacity(kcap, n_tiles, SLAB)
 
+    # bbox emission: tet faces are near-isotropic tessellation cells --
+    # exact-coverage culling removes <1% of pairs here (measured 322k ->
+    # 321k at the 98k-face bench) and its run-table fills would be pure
+    # overhead, unlike the tri path's elongated splats (1.6x cull)
     raw = emit_and_sort(pre, gx, gy, kcap, sort_by="min_depth")
     overflow_warning(raw.overflow, raw.total, kcap,
                      "tet first hit; a dropped face cannot be hit")

@@ -62,6 +62,7 @@ from .binning import (
     emit_and_sort,
 )
 from .geometry import (
+    face_edge_coeffs,
     clamp_bary_uv,
     clamp_bary_uv_grad,
     preprocess_faces,
@@ -161,29 +162,10 @@ def _build_face_table(verts, faces, verts_color, faces_opacity,
         axis=-1,
     )  # [B, F, 26 or 28] in _TV.._MAXD column order
 
-    # Fixed-point coverage edge coefficients (auxiliary.h:179-243).
-    im = img[:, faces, :]  # [B, F, 3, 2]
-    xi = (im[..., 0] * 16.0).astype(jnp.int32)  # truncation toward zero
-    yi = (im[..., 1] * 16.0).astype(jnp.int32)
-    x1, x2, x3 = xi[..., 0], xi[..., 1], xi[..., 2]
-    y1, y2, y3 = yi[..., 0], yi[..., 1], yi[..., 2]
-
-    area = (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)
-    neg = area < 0
-    x2s = jnp.where(neg, x3, x2)
-    y2s = jnp.where(neg, y3, y2)
-    x3s = jnp.where(neg, x2, x3)
-    y3s = jnp.where(neg, y2, y3)
-
-    def edge(xa, ya, xb, yb):
-        cx = xa - xb
-        cy = ya - yb
-        bias = ((cy > 0) | ((cy == 0) & (cx > 0))).astype(jnp.int32)
-        return -cy, cx, cy * xa - cx * ya - bias
-
-    A1, B1, C1 = edge(x1, y1, x2s, y2s)
-    A2, B2, C2 = edge(x2s, y2s, x3s, y3s)
-    A3, B3, C3 = edge(x3s, y3s, x1, y1)
+    # Fixed-point coverage edge coefficients (auxiliary.h:179-243),
+    # shared with the exact tile-interval emission (geometry helper).
+    (A1, A2, A3), (B1, B2, B3), (C1, C2, C3), nondeg = face_edge_coeffs(
+        img, faces)
 
     fid = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None], (B, F))
     edges = jnp.stack([A1, B1, C1, A2, B2, C2, A3, B3, C3], axis=-1)
@@ -193,7 +175,7 @@ def _build_face_table(verts, faces, verts_color, faces_opacity,
         [
             (edges >> 12).astype(jnp.float32),
             (edges & 0xFFF).astype(jnp.float32),
-            (area != 0).astype(jnp.float32)[..., None],
+            nondeg.astype(jnp.float32)[..., None],
             fid.astype(jnp.float32)[..., None],
         ],
         axis=-1,
@@ -759,7 +741,7 @@ def _binned_prepare(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
 
     ndc, img = project_verts(verts, mv_t, proj_t, width, height)
     pre = preprocess_faces(ndc, img, faces, width, height, TILE, TILE)
-    raw = emit_and_sort(pre, gx, gy, kcap)
+    raw = emit_and_sort(pre, gx, gy, kcap, tile_px=TILE)
     keys = align_to_slabs(raw, n_tiles, SLAB, cap, faces.shape[0])
 
     cam_o = inv_mv_t[:, 3, :3]  # [B, 3]

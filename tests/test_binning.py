@@ -82,3 +82,73 @@ def test_overflow_flag():
     out = emit_and_sort(pre, gx, gy, kcap=16)
     assert bool(out.overflow)
     assert out.face.shape == (16,)
+
+
+def _covered_pairs(pre, soup, mv_t, proj_t, gx, gy):
+    """Ground truth: (b, f, tile) triples with at least one covered pixel,
+    via the scalar in_tri test at every pixel center."""
+    from dmesh_renderer_tpu.ops.geometry import in_tri
+
+    img = np.array(project_verts(
+        jnp.asarray(soup["verts"]), mv_t, proj_t, W, H)[1])
+    faces = soup["faces"]
+    covered = set()
+    B = img.shape[0]
+    ys, xs = np.mgrid[0:H, 0:W]
+    pix = jnp.asarray(
+        np.stack([xs + 0.5 * 0, ys * 0 + ys], -1).astype(np.float32))
+    for b in range(B):
+        p = img[b][faces]  # [F, 3, 2]
+        for f in range(len(faces)):
+            cov = np.array(in_tri(
+                jnp.asarray(np.stack([xs, ys], -1).astype(np.float32)
+                            + 0.5),
+                jnp.asarray(p[f, 0]), jnp.asarray(p[f, 1]),
+                jnp.asarray(p[f, 2])))
+            if not cov.any():
+                continue
+            tys, txs = np.nonzero(cov)
+            for t in set(zip(tys // TILE, txs // TILE)):
+                covered.add((b, f, t[0] * gx + t[1]))
+    return covered
+
+
+def test_exact_emission_superset_of_coverage_subset_of_bbox():
+    """The exact-coverage emission must contain every (face, tile) pair
+    with real pixel coverage (conservative test never culls a covered
+    tile) and stay within the bbox emission; per-tile face order matches
+    the bbox path's on the shared pairs."""
+    soup = scenes.random_triangle_soup(30, seed=11)
+    mv, proj = scenes.ring_cameras(2)
+    mv_t = jnp.asarray(np.swapaxes(mv, 1, 2))
+    proj_t = jnp.asarray(np.swapaxes(proj, 1, 2))
+    ndc, img = project_verts(jnp.asarray(soup["verts"]), mv_t, proj_t, W, H)
+    pre = preprocess_faces(ndc, img, jnp.asarray(soup["faces"]), W, H,
+                           TILE, TILE)
+    gx, gy = W // TILE, H // TILE
+    kcap = default_key_capacity(2, 30)
+
+    bbox = emit_and_sort(pre, gx, gy, kcap)
+    exact = emit_and_sort(pre, gx, gy, kcap, tile_px=TILE)
+    nb, ne = int(bbox.total), int(exact.total)
+    assert ne <= nb
+    assert not bool(exact.overflow)
+
+    def pairs(out, n):
+        tk = np.array(out.tile_key)[:n]
+        fc = np.array(out.face)[:n]
+        bt = np.array(out.batch)[:n]
+        ntl = gx * gy
+        return list(zip(bt, fc, tk % ntl))
+
+    set_b = set(pairs(bbox, nb))
+    set_e = set(pairs(exact, ne))
+    assert set_e <= set_b
+
+    covered = _covered_pairs(pre, soup, mv_t, proj_t, gx, gy)
+    missing = covered - set_e
+    assert not missing, f"exact emission culled covered pairs: {missing}"
+
+    # per-tile order on shared pairs is identical (same stable ordering)
+    seq_b = [p for p in pairs(bbox, nb) if p in set_e]
+    assert seq_b == pairs(exact, ne)

@@ -127,9 +127,14 @@ def test_overflow_drop_policy_is_farthest_first(args):
     one = (mv_t[:1], proj_t[:1], inv_mv_t[:1], inv_proj_t[:1],
            vdepth[:1], fintense[:1])
 
+    from dmesh_renderer_tpu.ops.binning import exact_tile_counts
+
     ndc, img = project_verts(verts, one[0], one[1], W, H)
     pre = preprocess_faces(ndc, img, faces, W, H, 32, 32)
-    tiles = np.array(pre["tiles"][0])  # [F]
+    gx = (W + 31) // 32
+    gy = (H + 31) // 32
+    # the production path uses exact-coverage emission counts
+    tiles = np.array(exact_tile_counts(pre, gx, gy, 32)[0])  # [F]
     depth = np.array(pre["depth"][0])
     key = np.where(tiles > 0, depth, np.inf)
     order = np.argsort(key, kind="stable")  # per-view face emission order

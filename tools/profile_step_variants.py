@@ -137,7 +137,7 @@ def main():
                   jnp.pad(a["vals10"], ((0, 0), (0, 2))), mode="drop"))
 
 
-if __name__ == "__main__" and not os.environ.get("VARIANTS2"):
+if __name__ == "__main__" and not any(k.startswith("VARIANTS") for k in os.environ):
     main()
 
 
@@ -701,3 +701,93 @@ def variants6():
 
 if __name__ == "__main__" and os.environ.get("VARIANTS6"):
     variants6()
+
+
+def variants7():
+    """Per-step gradient reduction alternatives: scatter-add vs sort+segsum."""
+    M = 640_000
+    F = 98_400
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.RandomState(0)
+    A = {
+        "cf": jnp.asarray(rng.randint(0, F, M).astype(np.int32)),
+        "rec": jnp.asarray(rng.rand(M, 10).astype(np.float32)),
+        "rec_rows": tuple(jnp.asarray(rng.rand(M).astype(np.float32))
+                          for _ in range(10)),
+    }
+
+    def measure(fn, iters=3):
+        @jax.jit
+        def chained(a):
+            def body(salt, _):
+                out = fn(a, salt)
+                s = jnp.sum(out.ravel()[:8].astype(jnp.float32))
+                return (salt + s.astype(jnp.int32) % 2).astype(jnp.int32), None
+            salt, _ = lax.scan(body, jnp.int32(0), None, length=REPS)
+            return salt
+        float(chained(A))
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(chained(A))
+            ts.append(time.perf_counter() - t0)
+        return min(ts) * 1000
+
+    base = measure(lambda a, s: s[None].astype(jnp.float32))
+
+    def timed(name, fn):
+        ms = (measure(fn) - base) / REPS
+        print(f"{name:>52}: {ms:8.2f} ms/op")
+
+    timed("a) scatter-add [M,10] -> [F,10]",
+          lambda a, s: jnp.zeros((F, 10), jnp.float32).at[
+              (a["cf"] + s) % F].add(a["rec"], mode="drop"))
+
+    def sort_segsum_ss(a, s):
+        key = (a["cf"] + s) % F
+        out = lax.sort((key,) + a["rec_rows"], num_keys=1, is_stable=True)
+        skey, svals = out[0], out[1:]
+        cs = [jnp.cumsum(v) for v in svals]
+        ends = jnp.searchsorted(skey, jnp.arange(F, dtype=jnp.int32),
+                                side="right")
+        tots = [jnp.where(ends > 0, c[jnp.maximum(ends - 1, 0)], 0.0)
+                for c in cs]
+        segs = [t - jnp.concatenate([jnp.zeros(1, t.dtype), t[:-1]])
+                for t in tots]
+        return jnp.stack(segs, axis=1)
+
+    timed("b) sort + cumsum + searchsorted diff", sort_segsum_ss)
+
+    def sort_segsum_sc(a, s):
+        key = (a["cf"] + s) % F
+        out = lax.sort((key,) + a["rec_rows"], num_keys=1, is_stable=True)
+        skey, svals = out[0], out[1:]
+        cs = [jnp.cumsum(v) for v in svals]
+        is_last = jnp.concatenate(
+            [skey[:-1] != skey[1:], jnp.ones(1, bool)])
+        pos = jnp.where(is_last, skey, F)
+        tots = [jnp.zeros((F,), jnp.float32).at[pos].max(c, mode="drop")
+                for c in cs]
+        # cummax over F to forward-fill empty faces, then diff
+        filled = [lax.cummax(t) for t in tots]
+        segs = [t - jnp.concatenate([jnp.zeros(1, t.dtype), t[:-1]])
+                for t in filled]
+        return jnp.stack(segs, axis=1)
+
+    timed("c) sort + cumsum + boundary scatter-set", sort_segsum_sc)
+
+    timed("d) cumsum x10 [M] alone",
+          lambda a, s: sum(jnp.cumsum(v + s.astype(jnp.float32))[-1]
+                           for v in a["rec_rows"])[None])
+
+    timed("e) sort 1key+10pay alone",
+          lambda a, s: lax.sort((( a["cf"] + s) % F,) + a["rec_rows"],
+                                num_keys=1, is_stable=True)[1])
+
+
+if __name__ == "__main__" and os.environ.get("VARIANTS7"):
+    variants7()
