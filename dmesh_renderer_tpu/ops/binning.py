@@ -83,11 +83,14 @@ class BinnedKeys(NamedTuple):
     overflow: Array   # [] bool, True if total > KCAP (keys were dropped)
 
 
-def _fill_from_boundaries(positions: Array, values: Array, kcap: int) -> Array:
+def _fill_from_boundaries(positions: Array, values: Array, kcap: int,
+                          dtype=jnp.int32) -> Array:
     """Forward-fill: scatter ``values`` at ``positions`` (monotone
-    non-decreasing values required) and cummax-fill the gaps."""
-    marks = jnp.zeros((kcap,), jnp.int32).at[positions].max(
-        values, mode="drop")
+    non-decreasing values required) and cummax-fill the gaps. uint32
+    doubles the packed (offset << 10 | chunk) budget of the exact
+    emission's slot fills (kcap < 2^22 instead of 2^21)."""
+    marks = jnp.zeros((kcap,), dtype).at[positions].max(
+        values.astype(dtype), mode="drop")
     return lax.cummax(marks)
 
 
@@ -187,7 +190,13 @@ def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
     that degrades most gracefully.) A face straddling the cut keeps the
     row-major head of its tile rect.
     """
-    if tile_px is not None and "edge_a" in pre:
+    # exact-coverage emission packs (slot offset << 10 | chunk) into the
+    # int32 forward fills, so the slot capacity must fit 2^21; beyond that
+    # (huge single-chip multi-view runs) fall back to bbox emission -- the
+    # sharded path (shard_map over views) keeps per-device capacities
+    # small and stays on the exact path
+    if (tile_px is not None and "edge_a" in pre and kcap < (_MAX_BF << 1)
+            and grid_x <= 1023 and grid_y <= 1023):
         return _emit_exact(pre, grid_x, grid_y, kcap, sort_by, tile_px)
 
     tiles = pre["tiles"]  # [B, F]
@@ -311,12 +320,6 @@ def _emit_exact(pre: dict, grid_x: int, grid_y: int, kcap: int,
         raise ValueError(
             f"B*F = {B * F} exceeds the 2^21 emission-rank budget of the "
             "packed forward fill; shard views or faces first")
-    if kcap >= _MAX_BF:
-        raise ValueError(
-            f"kcap = {kcap} exceeds the 2^21 slot budget of the packed "
-            "run fill; shard views first")
-    if grid_x > 1023 or grid_y > 1023:
-        raise ValueError("tile grid dims must fit 10 bits")
 
     cnt_face = exact_tile_counts(pre, grid_x, grid_y, tile_px)  # [B, F]
 
@@ -375,14 +378,17 @@ def _emit_exact(pre: dict, grid_x: int, grid_y: int, kcap: int,
 
     # --- slot fills from run scale ---
     spos = jnp.where(rcnt > 0, excl, kcap)
-    fill_a = _fill_from_boundaries(spos, (excl << 10) | rlo, kcap)
-    fill_b = _fill_from_boundaries(spos, (excl << 10) | rty, kcap)
-    run_start = fill_a >> 10
+    exclu = excl.astype(jnp.uint32)
+    fill_a = _fill_from_boundaries(
+        spos, (exclu << 10) | rlo.astype(jnp.uint32), kcap, jnp.uint32)
+    fill_b = _fill_from_boundaries(
+        spos, (exclu << 10) | rty.astype(jnp.uint32), kcap, jnp.uint32)
+    run_start = (fill_a >> 10).astype(jnp.int32)
 
     slots = jnp.arange(kcap, dtype=jnp.int32)
     in_range = slots < total
-    tx = (fill_a & 0x3FF) + (slots - run_start)
-    ty = fill_b & 0x3FF
+    tx = (fill_a & 0x3FF).astype(jnp.int32) + (slots - run_start)
+    ty = (fill_b & 0x3FF).astype(jnp.int32)
     tile_id = ty * grid_x + tx
 
     # face per slot (face-scale fill over exact per-face slot offsets)
