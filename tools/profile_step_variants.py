@@ -791,3 +791,75 @@ def variants7():
 
 if __name__ == "__main__" and os.environ.get("VARIANTS7"):
     variants7()
+
+
+def variants8():
+    """Scatter-add collision sensitivity: spread the [F,10] target."""
+    M = 640_000
+    F = 98_400
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.RandomState(0)
+    A = {
+        "cf": jnp.asarray(rng.randint(0, F, M).astype(np.int32)),
+        "rec": jnp.asarray(rng.rand(M, 10).astype(np.float32)),
+    }
+
+    def measure(fn, iters=3):
+        @jax.jit
+        def chained(a):
+            def body(salt, _):
+                out = fn(a, salt)
+                s = jnp.sum(out.ravel()[:8].astype(jnp.float32))
+                return (salt + s.astype(jnp.int32) % 2).astype(jnp.int32), None
+            salt, _ = lax.scan(body, jnp.int32(0), None, length=REPS)
+            return salt
+        float(chained(A))
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(chained(A))
+            ts.append(time.perf_counter() - t0)
+        return min(ts) * 1000
+
+    base = measure(lambda a, s: s[None].astype(jnp.float32))
+
+    def timed(name, fn):
+        ms = (measure(fn) - base) / REPS
+        print(f"{name:>52}: {ms:8.2f} ms/op")
+
+    timed("scatter-add [M]x10 -> [F,10] (baseline)",
+          lambda a, s: jnp.zeros((F, 10), jnp.float32).at[
+              (a["cf"] + s) % F].add(a["rec"], mode="drop"))
+
+    def spread(k):
+        def f(a, s):
+            idx = ((a["cf"] + s) % F) * k + (
+                jnp.arange(M, dtype=jnp.int32) % k)
+            wide = jnp.zeros((F * k, 10), jnp.float32).at[idx].add(
+                a["rec"], mode="drop")
+            return wide.reshape(F, k, 10).sum(axis=1)
+        return f
+
+    timed("spread x4 -> [4F,10] + fold", spread(4))
+    timed("spread x8 -> [8F,10] + fold", spread(8))
+
+    timed("scatter-add [M]x10 SORTED cf -> [F,10]",
+          lambda a, s: jnp.zeros((F, 10), jnp.float32).at[
+              jnp.sort((a["cf"] + s) % F)].add(a["rec"], mode="drop"))
+
+    timed("scatter-add [M]x1 -> [F] (1 col)",
+          lambda a, s: jnp.zeros((F,), jnp.float32).at[
+              (a["cf"] + s) % F].add(a["rec"][:, 0], mode="drop"))
+
+    timed("scatter-add [M/2]x10 -> [F,10] (half rows)",
+          lambda a, s: jnp.zeros((F, 10), jnp.float32).at[
+              (a["cf"][:M // 2] + s) % F].add(a["rec"][:M // 2],
+                                             mode="drop"))
+
+
+if __name__ == "__main__" and os.environ.get("VARIANTS8"):
+    variants8()
