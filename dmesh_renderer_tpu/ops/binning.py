@@ -196,7 +196,8 @@ def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
     # sharded path (shard_map over views) keeps per-device capacities
     # small and stays on the exact path
     if (tile_px is not None and "edge_a" in pre and kcap < (_MAX_BF << 1)
-            and grid_x <= 1023 and grid_y <= 1023):
+            and grid_x <= 1023 and grid_y <= 1023
+            and pre["tiles"].size > 0):
         return _emit_exact(pre, grid_x, grid_y, kcap, sort_by, tile_px)
 
     tiles = pre["tiles"]  # [B, F]

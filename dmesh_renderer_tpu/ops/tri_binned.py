@@ -811,6 +811,11 @@ def render_tri_binned(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     jax.debug.print warning on callback-capable backends, and (c) via
     utils.diagnostics.tri_render_stats.
     """
+    if faces.shape[0] == 0:
+        raise ValueError(
+            "render_tri_binned requires at least one face; the strategy "
+            "dispatch (ops.tri.render_tri_auto, used by api.render_tri) "
+            "routes empty/small scenes to the dense oracle path")
     if kcap is None:
         kcap = default_key_capacity(mv_t.shape[0], faces.shape[0])
     color, depth, _, keys, _ = _render_binned_impl(
@@ -826,6 +831,11 @@ def render_tri_binned(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
 def _b_fwd(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
            inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg,
            height, width, kcap, with_aux):
+    if faces.shape[0] == 0:
+        raise ValueError(
+            "render_tri_binned requires at least one face; the strategy "
+            "dispatch (ops.tri.render_tri_auto, used by api.render_tri) "
+            "routes empty/small scenes to the dense oracle path")
     if kcap is None:
         kcap = default_key_capacity(mv_t.shape[0], faces.shape[0])
     color, depth, fwd_state_t, keys, saved = _render_binned_impl(

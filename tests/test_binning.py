@@ -152,3 +152,33 @@ def test_exact_emission_superset_of_coverage_subset_of_bbox():
     # per-tile order on shared pairs is identical (same stable ordering)
     seq_b = [p for p in pairs(bbox, nb) if p in set_e]
     assert seq_b == pairs(exact, ne)
+
+
+def test_oversized_kcap_falls_back_to_bbox():
+    """Key capacities beyond the packed-fill budget (2^22) must fall back
+    to bbox emission gracefully (large single-chip multi-view runs), not
+    raise; the emitted totals then match the bbox path."""
+    pre = _pre()
+    gx, gy = W // TILE, H // TILE
+    big = (1 << 22) + 128
+    bbox = emit_and_sort(pre, gx, gy, kcap=2048)
+    fb = emit_and_sort(pre, gx, gy, kcap=big, tile_px=TILE)
+    assert int(fb.total) == int(bbox.total)
+
+
+def test_binned_rejects_empty_faces():
+    """Direct binned calls with zero faces raise a clear error (the public
+    dispatch routes empty scenes to the dense path, mirroring the
+    reference's P != 0 / F != 0 guards at the binding layer)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from dmesh_renderer_tpu.ops.tri_binned import render_tri_binned
+
+    eye = jnp.eye(4)[None]
+    with pytest.raises(ValueError, match="at least one face"):
+        render_tri_binned(
+            jnp.zeros((3, 3)), jnp.zeros((0, 3), jnp.int32),
+            jnp.zeros((3, 3)), jnp.zeros(0), eye, eye, eye, eye,
+            jnp.zeros((1, 3)), jnp.zeros((1, 0)), jnp.zeros(3), 32, 32,
+            1024)
