@@ -43,7 +43,7 @@ def bench_tri_scaled(n_tris=100_000, height=800, width=800, n_views=1,
                      iters=3, kcap=896_000, chain=4):
     # kcap: the bench scene emits 770,003 (face, tile) pairs under the
     # exact-coverage emission (1,232,005 bbox pairs before culling;
-    # overflow flag verified False) -- 1.408M gives 14% headroom. Every
+    # overflow flag verified False) -- 896,000 gives ~16% headroom. Every
     # prepare/reduce stage scales with this capacity; users size theirs the
     # same way via render_tri(..., return_aux=True).
     """Fwd+bwd (all five gradients, like the reference backward always

@@ -94,15 +94,28 @@ def _fill_from_boundaries(positions: Array, values: Array, kcap: int,
     return lax.cummax(marks)
 
 
+def _relayout(rows: Array, k: int) -> Array:
+    """Physically relayout a row-gathered [N, K] table to [N/128, K, 128]
+    (rows in lanes). On TPU a [N, K] buffer pads K up to 128 lanes and
+    every consumer fusion pays a full strided pass over the padded buffer;
+    after this one relayout each column k is a clean contiguous vector.
+    The optimization_barrier pins the relayout so XLA cannot fuse it away
+    into per-consumer strided reads (tools/profile_step_variants.py).
+    N must be a multiple of 128. Canonical helper -- the tet march and the
+    exact emission both import it."""
+    m = rows.shape[0]
+    return lax.optimization_barrier(
+        rows.reshape(m // 128, 128, k).swapaxes(1, 2))
+
+
 def _gather_cols(tab: Array, idx: Array, k: int):
-    """Row-gather [len(idx), k] and split into clean 1-D columns (the
-    [N, k] result pads k to 128 lanes; one physical relayout makes each
-    column contiguous -- same trick as tet._relayout)."""
+    """Row-gather [len(idx), k] and split into clean 1-D columns via
+    _relayout (with a plain-slice fallback for tiny/unaligned row
+    counts)."""
     rows = tab[idx]
     n = rows.shape[0]
     if n % 128 == 0 and n >= 128:
-        r = lax.optimization_barrier(
-            rows.reshape(n // 128, 128, k).swapaxes(1, 2))
+        r = _relayout(rows, k)
         return [r[:, c, :].reshape(n) for c in range(k)]
     return [rows[:, c] for c in range(k)]
 
@@ -482,7 +495,7 @@ def aligned_capacity(kcap: int, n_tiles_total: int, slab: int) -> int:
 
 
 def align_to_slabs(keys: BinnedKeys, n_tiles_total: int, slab: int,
-                   cap: int, n_faces: int) -> AlignedKeys:
+                   cap: int) -> AlignedKeys:
     """Scatter the sorted key table into slab-aligned per-tile ranges."""
     counts = keys.ends - keys.starts  # [NT]
     padded = ((counts + slab - 1) // slab) * slab

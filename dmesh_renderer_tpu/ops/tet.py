@@ -40,6 +40,7 @@ import numpy as np
 from jax import lax
 
 from ..utils.config import DEFAULT_MAX_MARCH_STEPS, T_EPS, TILE_X, TILE_Y
+from .binning import _relayout
 from .geometry import (
     clamp_w,
     preprocess_faces,
@@ -243,20 +244,6 @@ def _march_tables(verts, faces, tets, tet_faces, face_tets, verts_color,
 BQ_MAX = 16  # row-groups (of 128 rays) per kernel block
 
 
-def _relayout(rows: Array, k: int) -> Array:
-    """Physically relayout a row-gathered [M, K] table to [M/128, K, 128]
-    (rays in lanes).
-
-    On TPU a [M, K] buffer pads K up to 128 lanes, and every consumer
-    fusion pays a full strided pass over the padded buffer (the original
-    march step cost 24 ms at M=640k for ~1.5 ms of gather + math); after
-    this one relayout each attribute k is a clean (rows, 128) vector
-    (tools/profile_step_variants.py). The optimization_barrier pins the
-    relayout so XLA cannot fuse it away into per-consumer strided reads.
-    M must be a multiple of 128 (the march pads its ray buffers)."""
-    m = rows.shape[0]
-    return lax.optimization_barrier(
-        rows.reshape(m // 128, 128, k).swapaxes(1, 2))
 
 
 def _pack_rows(rows) -> Array:
@@ -712,8 +699,7 @@ def _compacted_while(state_t, consts_t, fbase, globals_, step_fn, max_steps,
         rows = _unpack_rows(st, ns)
         sub_st = _pack_rows([r[idx] for r in rows])
         sub_cst = _pack_rows([r[idx] for r in _unpack_rows(cst, nc)])
-        sub_st, gl = run(sub_st, sub_cst, fbase[idx] if fb is fbase else
-                         fb[idx], gl, level + 1)
+        sub_st, gl = run(sub_st, sub_cst, fb[idx], gl, level + 1)
         sub_rows = _unpack_rows(sub_st, ns)
         rows = [full.at[idx].set(sub) for full, sub in zip(rows, sub_rows)]
         return _pack_rows(rows), gl

@@ -182,7 +182,7 @@ def first_intersection_binned(verts, faces, pre, img, cam_o, ray_d,
     raw = emit_and_sort(pre, gx, gy, kcap, sort_by="min_depth")
     overflow_warning(raw.overflow, raw.total, kcap,
                      "tet first hit; a dropped face cannot be hit")
-    keys = align_to_slabs(raw, n_tiles, SLAB, cap, faces.shape[0])
+    keys = align_to_slabs(raw, n_tiles, SLAB, cap)
 
     F = faces.shape[0]
     P = verts.shape[0]

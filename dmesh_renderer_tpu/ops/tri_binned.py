@@ -742,7 +742,7 @@ def _binned_prepare(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     ndc, img = project_verts(verts, mv_t, proj_t, width, height)
     pre = preprocess_faces(ndc, img, faces, width, height, TILE, TILE)
     raw = emit_and_sort(pre, gx, gy, kcap, tile_px=TILE)
-    keys = align_to_slabs(raw, n_tiles, SLAB, cap, faces.shape[0])
+    keys = align_to_slabs(raw, n_tiles, SLAB, cap)
 
     cam_o = inv_mv_t[:, 3, :3]  # [B, 3]
     face_tab = _build_face_table(

@@ -42,7 +42,11 @@ def tri_render_stats(verts, faces, mv_t, proj_t, height, width,
 
     ndc, img = project_verts(verts, mv_t, proj_t, width, height)
     pre = preprocess_faces(ndc, img, faces, width, height, tile, tile)
-    keys = emit_and_sort(pre, gx, gy, kcap)
+    # tile_px selects the same exact-coverage emission the production
+    # binned renderer uses, so num_rendered/overflow here match what the
+    # render actually builds (emit_and_sort falls back to bbox emission
+    # under the same conditions the renderer does)
+    keys = emit_and_sort(pre, gx, gy, kcap, tile_px=tile)
     counts = keys.ends - keys.starts
     return {
         "num_rendered": int(keys.total),

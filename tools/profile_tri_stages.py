@@ -67,7 +67,7 @@ def main():
 
     def s_align(a):
         img, pre, raw = s_emit(a)
-        keys = align_to_slabs(raw, n_tiles, tb.SLAB, cap, a[1].shape[0])
+        keys = align_to_slabs(raw, n_tiles, tb.SLAB, cap)
         return img, keys
 
     def s_attrs(a):
