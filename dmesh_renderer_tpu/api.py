@@ -146,11 +146,17 @@ class TriRenderer:
 # =============================================================================
 
 class TetRenderSettings(NamedTuple):
-    """Reference: dmesh_renderer/__init__.py:237-241."""
+    """Reference: dmesh_renderer/__init__.py:237-241.
+
+    ``key_capacity`` is a TPU-specific extension (defaulted, so reference
+    call sites work unchanged): the static (face, tile) key budget of the
+    binned first-hit search; None picks a shape-derived heuristic.
+    """
     image_height: int
     image_width: int
     bg: Any
     ray_random_seed: int = 0
+    key_capacity: Any = None
 
 
 def render_tet(
@@ -166,12 +172,22 @@ def render_tet(
     face_tets: Array,
     tet_faces: Array,
     render_settings: TetRenderSettings,
+    return_aux: bool = False,
 ):
     """Functional tet renderer (reference: dmesh_renderer/__init__.py:243-275).
 
     Returns (color [B,3,H,W], depth [B,1,H,W], active [B,H,W] bool).
     ``verts_depth`` is accepted for API parity but unused
     (__init__.py:448-450).
+
+    ``return_aux=True`` (TPU extension; defaulted, so reference call sites
+    work unchanged) additionally returns ``(overflow, num_rendered)``: the
+    binned first-hit search's static-key-capacity overflow flag and emitted
+    pair count. The CUDA reference sizes its binning buffer exactly
+    (rasterizer_impl.cu:287-299) and can never drop geometry; the static
+    capacity here can -- and a dropped first hit silently yields a wrong
+    image AND a wrong active mask -- so the flag must be observable under
+    jit (mirrors ``render_tri``'s contract).
     """
     from .ops.tet import render_tet_core
     from .validation import check_tet_inputs
@@ -197,15 +213,17 @@ def render_tet(
         mv_t, proj_t, a["faces_intense"], a["tets"], a["face_tets"],
         a["tet_faces"], a["bg"],
     )
-    color, depth, active = render_tet_core(
+    kcap = getattr(render_settings, "key_capacity", None)
+    return render_tet_core(
         a["verts"], a["faces"], a["verts_color"], a["faces_opacity"],
         mv_t, proj_t, inv_mv_t, inv_proj_t, a["faces_intense"],
         a["tets"], a["face_tets"], a["tet_faces"], a["bg"],
         int(render_settings.image_height),
         int(render_settings.image_width),
         int(render_settings.ray_random_seed),
+        kcap=None if kcap is None else int(kcap),
+        with_aux=return_aux,
     )
-    return color, depth, active
 
 
 class TetRenderer:

@@ -714,7 +714,7 @@ def _compacted_while(state_t, consts_t, fbase, globals_, step_fn, max_steps,
 def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
                         proj_t, inv_mv_t, inv_proj_t, faces_intense, tets,
                         face_tets, tet_faces, bg, height, width, seed,
-                        max_steps):
+                        max_steps, kcap=None):
     B = mv_t.shape[0]
     N = height * width
 
@@ -744,13 +744,16 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
 
         # Tet faces live at tessellation-cell scale: a few 32px tiles each
         # (vs 16 for the tri default, sized for large splats). The first-hit
-        # sort/gather chain scales with this capacity; overflow is surfaced
-        # by a debug warning inside first_intersection_binned.
+        # sort/gather chain scales with this capacity. Overflow is surfaced
+        # AS DATA in the aux output (the axon backend cannot print debug
+        # warnings); callers can right-size via
+        # render_tet(..., return_aux=True) or TetRenderSettings.key_capacity.
         # measured at the 98k-face bench scene: 3.3 tiles/face average
-        # (tools/profile_tet_fixed.py context); 5 leaves 1.5x headroom and
-        # overflow is surfaced by the debug warning
-        kcap = default_key_capacity(B, faces.shape[0], avg_tiles_per_face=5)
-        first_face, rt, iu, iv = first_intersection_binned(
+        # (tools/profile_tet_fixed.py context); 5 leaves 1.5x headroom
+        if kcap is None:
+            kcap = default_key_capacity(B, faces.shape[0],
+                                        avg_tiles_per_face=5)
+        first_face, rt, iu, iv, fh_aux = first_intersection_binned(
             verts, faces, pre, img, inv_mv_t[:, 3, :3], ray_d_img,
             height, width, B, kcap,
         )
@@ -760,6 +763,8 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         first_face, rt, iu, iv = _first_intersection(
             verts, faces, pre["valid"], order, ray_o, ray_d
         )
+        # dense path scans every (valid) face: no capacity, cannot drop
+        fh_aux = (jnp.asarray(False), jnp.asarray(-1, jnp.int32))
 
     march = _march_tables(verts, faces, tets, tet_faces, face_tets,
                           verts_color, faces_opacity, faces_intense)
@@ -872,6 +877,8 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         final_prev_log_T=shape2(rows[_K_PLT]),
         n_contrib=i32(shape2(rows[_K_NC])),
         is_active=shape2(rows[_K_ACT]) != 0.0,
+        fh_overflow=fh_aux[0],
+        fh_num_rendered=fh_aux[1],
     )
     return color, depth, active_img, saved
 
@@ -1020,11 +1027,12 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
 # custom_vjp wrapper
 # =============================================================================
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17, 18))
 def render_tet_core(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
                     inv_mv_t, inv_proj_t, faces_intense, tets, face_tets,
                     tet_faces, bg, height, width, seed,
-                    max_steps=DEFAULT_MAX_MARCH_STEPS):
+                    max_steps=DEFAULT_MAX_MARCH_STEPS, kcap=None,
+                    with_aux=False):
     """Differentiable tet renderer.
 
     Shapes (reference: dmesh_renderer/__init__.py:451-463): verts [P,3],
@@ -1034,32 +1042,50 @@ def render_tet_core(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
 
     Returns (color [B,3,H,W], depth [B,1,H,W], active [B,H,W] bool).
     Gradients flow only to verts_color and faces_opacity.
+
+    ``kcap``: static (face, tile) key capacity of the binned first-hit
+    (None = heuristic). ``with_aux=True`` additionally returns
+    ``(overflow bool[], num_rendered int32[])`` from the first-hit binning
+    -- the only reliable overflow channel on backends without host
+    callbacks (see binning.overflow_warning); the dense first-hit path has
+    no capacity and reports ``(False, -1)``.
     """
-    color, depth, active, _ = _render_tet_forward(
+    color, depth, active, saved = _render_tet_forward(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
         inv_proj_t, faces_intense, tets, face_tets, tet_faces, bg,
-        height, width, seed, max_steps,
+        height, width, seed, max_steps, kcap,
     )
+    if with_aux:
+        return color, depth, active, (saved["fh_overflow"],
+                                      saved["fh_num_rendered"])
     return color, depth, active
 
 
 def _tet_fwd(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
              inv_mv_t, inv_proj_t, faces_intense, tets, face_tets, tet_faces,
-             bg, height, width, seed, max_steps):
+             bg, height, width, seed, max_steps, kcap, with_aux):
     color, depth, active, saved = _render_tet_forward(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
         inv_proj_t, faces_intense, tets, face_tets, tet_faces, bg,
-        height, width, seed, max_steps,
+        height, width, seed, max_steps, kcap,
     )
     res = (verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
            inv_proj_t, faces_intense, tets, face_tets, tet_faces, bg, saved)
-    return (color, depth, active), res
+    if with_aux:
+        out = (color, depth, active, (saved["fh_overflow"],
+                                      saved["fh_num_rendered"]))
+    else:
+        out = (color, depth, active)
+    return out, res
 
 
-def _tet_bwd(height, width, seed, max_steps, res, cots):
+def _tet_bwd(height, width, seed, max_steps, kcap, with_aux, res, cots):
     (verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
      inv_proj_t, faces_intense, tets, face_tets, tet_faces, bg, saved) = res
-    dL_dcolor, dL_ddepth, _dL_dactive = cots
+    if with_aux:
+        dL_dcolor, dL_ddepth, _dL_dactive, _aux_cot = cots
+    else:
+        dL_dcolor, dL_ddepth, _dL_dactive = cots
 
     g_vcolor, g_fopacity = _render_tet_backward(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,

@@ -168,7 +168,12 @@ def first_intersection_binned(verts, faces, pre, img, cam_o, ray_d,
                               height, width, B, kcap):
     """Tile-binned first hit. ray_d: [B, H, W, 3] (jitter included).
 
-    Returns (first_face [B, N] int32 (-1 miss), t, u, v [B, N]).
+    Returns (first_face [B, N] int32 (-1 miss), t, u, v [B, N],
+    (overflow bool[], num_rendered int32[])). The aux pair surfaces the
+    static key-capacity overflow AS DATA: a dropped (face, tile) pair makes
+    that face unhittable in the dropped tile, silently corrupting the march
+    start, and the axon backend cannot emit the debug warning
+    (binning.overflow_warning), so callers must observe the flag.
     """
     gx = (width + TILE - 1) // TILE
     gy = (height + TILE - 1) // TILE
@@ -201,4 +206,5 @@ def first_intersection_binned(verts, faces, pre, img, cam_o, ray_d,
     N = height * width
     res = res.reshape(B, N, 4)
     first_face = res[..., 0].astype(jnp.int32)
-    return first_face, res[..., 1], res[..., 2], res[..., 3]
+    return (first_face, res[..., 1], res[..., 2], res[..., 3],
+            (raw.overflow, raw.total))

@@ -16,10 +16,11 @@ sharded layout end to end -- no communication at all.
 
 Note: the dense (oracle) tri path partitions cleanly under pjit because every
 op carries the B axis. The tile-binned path flattens (view, tile) into one
-key table; for multi-chip runs at binned scale, wrap the render in
-`shard_map` over the views axis so each device bins its own views (planned
-as the default dispatch in a future round -- current tests exercise the
-dense path under pjit).
+key table, which pjit cannot partition; multi-chip runs at binned scale wrap
+the render in `shard_map` over the views axis so each device bins its own
+local views with per-device key capacities -- this IS the production path:
+see models/dmesh.make_train_step(sharded=True) (binned forced) and
+tests/test_sharding.py::test_sharded_binned_step_matches_single_device.
 """
 
 from __future__ import annotations

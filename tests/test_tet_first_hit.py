@@ -48,9 +48,11 @@ def test_binned_first_hit_matches_dense():
     )
 
     kcap = default_key_capacity(B, faces.shape[0])
-    ff_b, t_b, u_b, v_b = first_intersection_binned(
+    ff_b, t_b, u_b, v_b, (ovf, total) = first_intersection_binned(
         verts, facesj, pre, img, inv_mv_t[:, 3, :3], ray_d_img, H, W, B, kcap,
     )
+    assert not bool(ovf)
+    assert int(total) > 0
 
     ff_d, ff_b = np.array(ff_d), np.array(ff_b)
     hit_d = ff_d >= 0
@@ -108,3 +110,52 @@ def test_tet_render_binned_path_matches_dense():
     np.testing.assert_array_equal(np.array(a_dense), np.array(a_bin))
     np.testing.assert_allclose(np.array(c_bin), np.array(c_dense), atol=1e-5)
     np.testing.assert_allclose(np.array(d_bin), np.array(d_dense), atol=1e-5)
+
+
+def test_tet_first_hit_overflow_surfaced_as_data():
+    """A too-small key capacity must flip the aux overflow flag through the
+    public render_tet API (VERDICT r2 W3: the axon backend cannot print
+    warnings -- binning.py overflow_warning -- so data is the only reliable
+    channel; a dropped first-hit face yields a wrong image AND wrong active
+    mask with no other signal)."""
+    import jax
+    from dmesh_renderer_tpu.api import TetRenderSettings, render_tet
+    import dmesh_renderer_tpu.ops.tet as tet_mod
+
+    tets = _random_tet_grid(3)
+    faces, face_tets, tet_faces = build_tet_connectivity(tets)
+    n = 4
+    grid_pts = np.stack(np.meshgrid(*([np.linspace(-1, 1, n)] * 3),
+                                    indexing="ij"), -1).reshape(-1, 3)
+    verts = grid_pts.astype(np.float32)
+
+    mv, proj = scenes.ring_cameras(1, radius=4.0)
+    rng = np.random.RandomState(3)
+    common = (
+        verts, faces,
+        rng.rand(verts.shape[0], 3).astype(np.float32),
+        rng.uniform(0.2, 0.8, faces.shape[0]).astype(np.float32),
+        np.swapaxes(mv, 1, 2), np.swapaxes(proj, 1, 2),
+        np.zeros((1, verts.shape[0]), np.float32),
+        np.ones((1, faces.shape[0]), np.float32),
+        tets.astype(np.int32), face_tets, tet_faces,
+    )
+
+    old = tet_mod.BINNED_FIRST_HIT_THRESHOLD
+    try:
+        tet_mod.BINNED_FIRST_HIT_THRESHOLD = 1  # force the binned path
+
+        def run(kcap):
+            s = TetRenderSettings(H, W, np.zeros(3, np.float32),
+                                  key_capacity=kcap)
+            # jit: the flag must be observable as traced data
+            f = jax.jit(lambda: render_tet(*common, s, return_aux=True)[3])
+            ovf, total = f()
+            return bool(ovf), int(total)
+
+        ovf_big, total = run(200_000)
+        assert not ovf_big and total > 0
+        ovf_small, _ = run(128)  # far below the real pair count
+        assert ovf_small
+    finally:
+        tet_mod.BINNED_FIRST_HIT_THRESHOLD = old

@@ -68,12 +68,6 @@ def test_backward_matches_oracle(args):
         assert err < 1e-4, f"{name}: rel Linf {err}"
 
 
-def test_overflow_truncates_gracefully(args):
-    c, d = render_tri_binned(*args, H, W, 256)
-    assert np.isfinite(np.array(c)).all()
-    assert np.isfinite(np.array(d)).all()
-
-
 def test_overflow_flag_surfaces(args):
     """with_aux must report overflow=True and the true emitted total when
     keys are dropped, and overflow=False at ample capacity."""
