@@ -187,3 +187,49 @@ def test_tet_sharded_step_matches_single_device():
     for _ in range(5):
         st, loss = step8(st, shard_view_batch(mesh, batch))
     assert float(loss) < float(loss8)
+
+
+def test_overflow_flag_propagates_under_shard_map(setup):
+    """A per-device key-capacity overflow must be observable OUTSIDE
+    shard_map (VERDICT r2 W6): each device bins its own views with its own
+    static capacity, so the aux flag is per-shard data; an any-reduce over
+    the views axis surfaces it globally."""
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    from dmesh_renderer_tpu.ops.tri import render_tri_auto
+    from dmesh_renderer_tpu.parallel.sharding import VIEW_AXIS
+
+    soup, scene, batch = setup
+    faces = jnp.asarray(soup["faces"])
+    bg = jnp.zeros(3, jnp.float32)
+    mesh = make_view_mesh(8)
+
+    def make_render(kcap):
+        def local(batch):
+            _c, _d, (ovf, total) = render_tri_auto(
+                scene.verts, faces, scene.verts_color, scene.faces_opacity,
+                batch.mv_t, batch.proj_t, batch.inv_mv_t, batch.inv_proj_t,
+                batch.verts_depth, batch.faces_intense, bg, H, W,
+                force="binned", kcap=kcap, with_aux=True,
+            )
+            # any device overflowing = global overflow; keep the max
+            # emitted count for capacity sizing
+            ovf = lax.pmax(ovf.astype(jnp.int32), VIEW_AXIS)
+            total = lax.pmax(total, VIEW_AXIS)
+            return ovf, total
+
+        return jax.jit(jax.shard_map(
+            local, mesh=mesh, in_specs=(P(VIEW_AXIS),),
+            out_specs=(P(), P()), check_vma=False,
+        ))
+
+    batch8 = shard_view_batch(mesh, batch)
+    ovf, total = make_render(4096)(batch8)
+    assert int(ovf) == 0
+    total_true = int(total)
+    assert total_true > 2
+
+    ovf2, total2 = make_render(max(1, total_true // 2))(batch8)
+    assert int(ovf2) == 1, "per-device overflow lost under shard_map"
+    assert int(total2) == total_true
