@@ -19,6 +19,7 @@ from .api import (  # noqa: F401
     TetRenderer,
     render_tet,
 )
+from .ops.binning import recommended_key_capacity  # noqa: F401
 from .runtime.native import build_tet_connectivity  # noqa: F401
 
 __version__ = "0.1.0"

@@ -441,6 +441,49 @@ def default_key_capacity(B: int, F: int, avg_tiles_per_face: int = 16) -> int:
     return ((kcap + 127) // 128) * 128
 
 
+def recommended_key_capacity(verts, faces, mv_t, proj_t, height, width,
+                             *, tile_px: int = 32, margin: float = 1.25,
+                             exact: bool = True,
+                             bucket: int = 65_536) -> int:
+    """Measure the true (face, tile) pair count of a scene and return a
+    right-sized static key capacity.
+
+    Runs the F-scale emission count pass (cheap [B, F] math; no slot-scale
+    work) on the given geometry/cameras, applies ``margin`` headroom, and
+    rounds UP to a multiple of ``bucket`` so nearby camera configurations
+    share one jit compilation. Call this OUTSIDE jit with concrete arrays
+    and pass the result as ``TriRenderSettings.key_capacity`` /
+    ``TetRenderSettings.key_capacity`` (the tet first-hit bins by bbox
+    rects: pass ``exact=False`` for it).
+
+    This replaces hand-tuned capacities: the CUDA reference sizes its
+    buffer exactly after a device-to-host readback
+    (rasterizer_impl.cu:287-299); under jit the capacity must be static,
+    so the honest equivalent is measure-once + margin, with overflow
+    surfaced as data (``return_aux``) if the scene later outgrows it.
+    """
+    import math
+
+    import jax.numpy as jnp
+
+    from .geometry import preprocess_faces, project_verts
+
+    verts = jnp.asarray(verts, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+    mv_t = jnp.asarray(mv_t, jnp.float32)
+    proj_t = jnp.asarray(proj_t, jnp.float32)
+    gx = (width + tile_px - 1) // tile_px
+    gy = (height + tile_px - 1) // tile_px
+    ndc, img = project_verts(verts, mv_t, proj_t, width, height)
+    pre = preprocess_faces(ndc, img, faces, width, height, tile_px, tile_px)
+    if exact and "edge_a" in pre:
+        total = int(jnp.sum(exact_tile_counts(pre, gx, gy, tile_px)))
+    else:
+        total = int(jnp.sum(jnp.where(pre["valid"], pre["tiles"], 0)))
+    need = max(1024, int(math.ceil(total * margin)))
+    return ((need + bucket - 1) // bucket) * bucket
+
+
 def overflow_warning(overflow: Array, total: Array, kcap: int,
                      context: str) -> None:
     """Runtime key-capacity overflow warning (non-silent geometry drops;

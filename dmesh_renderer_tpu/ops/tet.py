@@ -188,6 +188,15 @@ def _march_tables(verts, faces, tets, tet_faces, face_tets, verts_color,
     The neighbor precompute folds the reference's per-step face_tets lookup
     (forward.cu:761-768: first entry that is neither curr_tet nor -1) into
     the table: nbr[t, j] is exactly that selection for tet t's slot j.
+
+    Round 3 adds ``mega [B*T, 96]``: tet_pack (cols 0-47) plus the shade
+    rows of the tet's 4 slot faces (cols 48+12j..59+12j). The forward march
+    gathers ONE mega row per step keyed by the gather tet and selects the
+    entry slot's shade in-kernel (the entry face is always one of the
+    gather tet's faces) -- the per-step glue is gather-ROW-count-bound
+    (~10-15 ns/row regardless of width, tools/exp_march_variants.py), so
+    merging the two per-step gathers into one nearly halves it.
+    ``tet_pack``/``shade`` remain for the marching backward fallback.
     """
     F = faces.shape[0]
     T = tets.shape[0]
@@ -238,7 +247,13 @@ def _march_tables(verts, faces, tets, tet_faces, face_tets, verts_color,
         ],
         axis=-1,
     ).reshape(B * F, 12)
-    return {"tet_pack": tet_pack, "shade": shade, "geo": geo, "sign": sign}
+
+    shade_bt = shade.reshape(B, F, 12)[:, tf].reshape(B, T, 48)
+    mega = jnp.concatenate(
+        [jnp.broadcast_to(tet_pack[None], (B, T, 48)), shade_bt], axis=-1
+    ).reshape(B * T, 96)
+    return {"tet_pack": tet_pack, "shade": shade, "geo": geo, "sign": sign,
+            "mega": mega}
 
 
 BQ_MAX = 16  # row-groups (of 128 rays) per kernel block
@@ -397,10 +412,27 @@ def _connectivity_step(pcol, cf, ox, oy, oz, dx, dy, dz, direction):
 
 
 # Forward kernel state rows ([M/128, NSF, 128]; ids/flags/counters as
-# exact f32 -- ids < 2**24, flags 0/1)
+# exact f32 -- ids < 2**24, flags 0/1). _K_GT is the "gather tet": the tet
+# whose mega row is fetched next step. It equals the current tet while
+# inside the tessellation, but when the walk exits (next tet -1) it keeps
+# the tet being exited, whose slots still contain the boundary face -- the
+# final blend of that face (forward.cu:628-653 happens before the
+# no-next-tet check) needs its shade columns.
 (_K_T, _K_U, _K_V, _K_CF, _K_CT, _K_LOGT, _K_TCUR, _K_PLT, _K_CR, _K_CG,
- _K_CB, _K_D, _K_LF, _K_LT, _K_NC, _K_ACT, _K_DONE) = range(17)
-_NSF = 17
+ _K_CB, _K_D, _K_LF, _K_LT, _K_NC, _K_ACT, _K_DONE, _K_GT) = range(18)
+_NSF = 17   # rows carried by the legacy marching-backward state
+_NSF2 = 18  # forward state rows (incl. _K_GT)
+
+# Forward march log rows, one slab per global step (the backward REPLAYS
+# the blend from this log instead of re-walking the connectivity: zero
+# gathers, zero per-step scatters -- see _render_tet_backward_replay).
+(_L_CF, _L_ALPHA, _L_TBEF, _L_U, _L_V, _L_CR, _L_CG, _L_CB, _L_DEP,
+ _L_INTEN) = range(10)
+_NLOG = 10
+# Static march-log depth: walks no deeper than this replay on the fast
+# path; deeper walks (rare; bench-scene p100 = 17) fall back to the
+# marching backward. Memory: LOG_CAP * M * _NLOG * 4 bytes.
+LOG_CAP = 24
 # Shared ray/projective-depth const rows
 (_C_OX, _C_OY, _C_OZ, _C_DX, _C_DY, _C_DZ, _C_POZ, _C_POW, _C_PDZ,
  _C_PDW) = range(10)
@@ -420,33 +452,45 @@ def _shade_col(shade_ref, c):
     return shade_ref[:, c, :]
 
 
-def _fwd_march_kernel(pack_ref, shade_ref, consts_ref, state_ref, out_ref):
+def _fwd_march_kernel(mega_ref, consts_ref, state_ref, out_ref):
     """One forward march step for a (BQ, 128)-ray block: blend the current
     face, update transmittance/termination state, and walk to the next
     face -- the entire body of forward.cu:595-788 in ONE fused pass.
 
     All per-ray state rides in f32 rows (see _K_* indices); the XLA side
-    does the two table gathers and the int<->f32 id conversions."""
+    does the single mega-table gather (keyed by _K_GT) and the int<->f32
+    id conversions. The current face's shade columns are selected from the
+    gather tet's 4 slots in-kernel (the entry face is one of them by the
+    walk invariant), and the per-step blend quantities are appended as
+    _NLOG log rows for the replay backward."""
     s = lambda r: state_ref[:, r, :]
     c = lambda r: consts_ref[:, r, :]
+    m = lambda k: mega_ref[:, k, :]
     alive = s(_K_DONE) == 0.0
     cf, ct = s(_K_CF), s(_K_CT)
     u0, v0, t0 = s(_K_U), s(_K_V), s(_K_T)
 
-    # --- 1. blend current face (forward.cu:597-653) ---
-    alpha = _shade_col(shade_ref, 9)
-    l1a = _shade_col(shade_ref, 10)
-    inten = _shade_col(shade_ref, 11)
+    # --- 1. blend current face (forward.cu:597-653); shade columns come
+    # from the entry slot of the gather tet (ids are exact f32) ---
+    isf = [(m(40 + j) == cf).astype(jnp.float32) for j in range(4)]
+
+    def shade_col(col):
+        return (isf[0] * m(48 + col) + isf[1] * m(60 + col)
+                + isf[2] * m(72 + col) + isf[3] * m(84 + col))
+
+    alpha = shade_col(9)
+    l1a = shade_col(10)
+    inten = shade_col(11)
     w = jnp.where(alive, s(_K_TCUR) * alpha, 0.0)
     col = [
-        (_shade_col(shade_ref, ch)
-         + (_shade_col(shade_ref, 3 + ch) - _shade_col(shade_ref, ch)) * u0
-         + (_shade_col(shade_ref, 6 + ch) - _shade_col(shade_ref, ch)) * v0)
-        * inten
+        (shade_col(ch)
+         + (shade_col(3 + ch) - shade_col(ch)) * u0
+         + (shade_col(6 + ch) - shade_col(ch)) * v0) * inten
         for ch in range(3)
     ]
     dep = (c(_C_POZ) + t0 * c(_C_PDZ)) / clamp_w(c(_C_POW) + t0 * c(_C_PDW))
 
+    tbef = s(_K_TCUR)  # transmittance BEFORE this blend (replay's prev_T)
     prev_log_T = jnp.where(alive, s(_K_LOGT), s(_K_PLT))
     log_T_new = jnp.where(alpha < 1.0, s(_K_LOGT) + l1a, _LOG_TEPS01)
     log_T = jnp.where(alive, log_T_new, s(_K_LOGT))
@@ -465,7 +509,7 @@ def _fwd_march_kernel(pack_ref, shade_ref, consts_ref, state_ref, out_ref):
     # --- 3. walk to the next face (forward.cu:672-775) ---
     walk = alive & ~newly_done
     err, nf, nt, t2, u2, v2 = _connectivity_step(
-        lambda k: pack_ref[:, k, :], cf,
+        m, cf,
         c(_C_OX), c(_C_OY), c(_C_OZ), c(_C_DX), c(_C_DY), c(_C_DZ), +1)
     newly_done = newly_done | (walk & err)
     advance = walk & ~err
@@ -488,6 +532,23 @@ def _fwd_march_kernel(pack_ref, shade_ref, consts_ref, state_ref, out_ref):
     out_ref[:, _K_ACT, :] = active.astype(jnp.float32)
     out_ref[:, _K_DONE, :] = ((s(_K_DONE) != 0.0)
                               | newly_done).astype(jnp.float32)
+    # the next step must gather the tet that contains the NEW current face:
+    # the neighbor when one exists, else the tet being exited (boundary)
+    out_ref[:, _K_GT, :] = jnp.where(
+        advance, jnp.where(nt >= 0.0, nt, ct), s(_K_GT))
+
+    # --- 4. march log slab for the replay backward (masked to this step's
+    # blends; dead lanes log cf -1 -> dropped key) ---
+    out_ref[:, _NSF2 + _L_CF, :] = jnp.where(alive, cf, -1.0)
+    out_ref[:, _NSF2 + _L_ALPHA, :] = alpha * aliv_f
+    out_ref[:, _NSF2 + _L_TBEF, :] = tbef * aliv_f
+    out_ref[:, _NSF2 + _L_U, :] = u0 * aliv_f
+    out_ref[:, _NSF2 + _L_V, :] = v0 * aliv_f
+    out_ref[:, _NSF2 + _L_CR, :] = col[0] * aliv_f
+    out_ref[:, _NSF2 + _L_CG, :] = col[1] * aliv_f
+    out_ref[:, _NSF2 + _L_CB, :] = col[2] * aliv_f
+    out_ref[:, _NSF2 + _L_DEP, :] = dep * aliv_f
+    out_ref[:, _NSF2 + _L_INTEN, :] = inten * aliv_f
 
 
 def _bwd_march_kernel(pack_ref, shade_ref, consts_ref, state_ref, out_ref):
@@ -585,6 +646,29 @@ def _bwd_march_kernel(pack_ref, shade_ref, consts_ref, state_ref, out_ref):
     out_ref[:, _B_AD, :] = jnp.where(alive, acc_d_new, s(_B_AD))
     out_ref[:, _B_DONE, :] = ((s(_B_DONE) != 0.0)
                               | newly_done).astype(jnp.float32)
+
+
+def _run_fwd_march(mega_t, consts_t, state_t):
+    """Launch one forward march step (mega-table kernel) over the ray
+    row-groups; returns [G, _NSF2 + _NLOG, 128] (state rows + log slab)."""
+    from .tri_binned import _interpret
+    import jax.experimental.pallas as pl
+
+    g = state_t.shape[0]
+    bq = _pick_bq(g)
+    n_out = _NSF2 + _NLOG
+    return pl.pallas_call(
+        _fwd_march_kernel,
+        grid=(g // bq,),
+        in_specs=[
+            pl.BlockSpec((bq, 96, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bq, 10, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bq, _NSF2, 128), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bq, n_out, 128), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, n_out, 128), jnp.float32),
+        interpret=_interpret(),
+    )(mega_t, consts_t, state_t)
 
 
 def _run_march_kernel(kernel, pack_t, shade_t, consts_t, state_t, n_out):
@@ -785,7 +869,8 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
                 [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
         return x
 
-    fbase = jnp.minimum(jnp.arange(M, dtype=jnp.int32) // N, B - 1) * F
+    T_n = tets.shape[0]
+    tbase = jnp.minimum(jnp.arange(M, dtype=jnp.int32) // N, B - 1) * T_n
 
     ro = _flat_cols(flat(ray_o), 3)
     rd = _flat_cols(flat(ray_d), 3)
@@ -836,23 +921,38 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         zero,                        # n_contrib
         zero,                        # active
         f32(done0 | (jnp.arange(M) >= M0)),
+        f32(jnp.maximum(first_tet, 0)),  # gather tet (_K_GT)
     ])
-    globals_ = dict(step=jnp.int32(0))
 
-    def step_fn(st, cf, ct, cst, fb, gl):
-        # XLA side: the two table gathers + physical relayouts (rays in
-        # lanes); the whole step body then runs as ONE fused Pallas pass
-        # (_fwd_march_kernel) instead of many XLA fusions over padded
-        # buffers (~2x per-step, tools/proto_march_kernel.py).
-        pack_t = _relayout(march["tet_pack"][jnp.maximum(ct, 0)], 48)
-        shade_t = _relayout(march["shade"][fb + jnp.maximum(cf, 0)], 12)
-        out = _run_march_kernel(
-            _fwd_march_kernel, pack_t, shade_t, cst, st, _NSF)
-        return out, dict(step=gl["step"] + 1)
+    # Full-width lockstep march (wall-clock follows the longest walk, like
+    # a CUDA warp's divergence cost). Rays die consecutively from step 0
+    # (done is monotone), so the global step index IS each ray's blend
+    # index, and each step's blend quantities append one log slab for the
+    # replay backward. No compaction: with the merged mega gather the step
+    # glue is ~2 ms at full width, and the alive curve at the bench scene
+    # stays >80% until nearly the end (tools/exp_alive_curve.py) --
+    # compaction gathers cost more than the width they save, and they
+    # would force log writes through pathological row scatters.
+    log_depth = max(1, min(LOG_CAP, int(max_steps)))
+    G = M // 128
+    log0 = jnp.zeros((log_depth, G, _NLOG, 128), jnp.float32)
 
-    st, _gl = _compacted_while(state_t, consts_t, fbase, globals_, step_fn,
-                               max_steps, _K_CF, _K_CT, _K_DONE)
-    rows = _unpack_rows(st, _NSF)
+    def cond(carry):
+        st, _log, step = carry
+        return (step < max_steps) & jnp.any(st[:, _K_DONE, :] == 0.0)
+
+    def body(carry):
+        st, log, step = carry
+        gt = st[:, _K_GT, :].reshape(-1).astype(jnp.int32)
+        mega_t = _relayout(march["mega"][tbase + gt], 96)
+        out = _run_fwd_march(mega_t, consts_t, st)
+        log = lax.dynamic_update_slice(
+            log, out[None, :, _NSF2:, :], (step % log_depth, 0, 0, 0))
+        return out[:, :_NSF2, :], log, step + 1
+
+    st, march_log, _n = lax.while_loop(cond, body,
+                                       (state_t, log0, jnp.int32(0)))
+    rows = _unpack_rows(st, _NSF2)
     i32 = lambda x: x.astype(jnp.int32)
     shape2 = lambda x: x[:M0].reshape(B, N)
 
@@ -879,12 +979,152 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         is_active=shape2(rows[_K_ACT]) != 0.0,
         fh_overflow=fh_aux[0],
         fh_num_rendered=fh_aux[1],
+        march_log=march_log,
     )
     return color, depth, active_img, saved
 
 
 # =============================================================================
-# Backward march
+# Backward: log replay (fast path)
+# =============================================================================
+
+# March-log steps reduced per sort batch. Each batch pays one
+# (batch*M)-element 11-operand stable sort + cumsum + searchsorted --
+# bulk-vector ops at ~1-2 ns/element (tools/exp_round3.py e7/e12) vs
+# ~14.5 ns/row for the per-step scatter-add they replace; batches whose
+# steps all exceed the longest walk are skipped under lax.cond.
+REPLAY_REDUCE_BATCH = 6
+
+
+def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
+                                dL_ddepth, B, height, width):
+    """Replay backward (backward.cu:86-487 semantics) from the forward's
+    march log -- NO connectivity re-walk, NO per-step table gathers, NO
+    per-step gradient scatters.
+
+    The forward logs every blend's (face, alpha, prev_T, u, v, color,
+    depth, inten) per global step; because a ray's alive steps are the
+    consecutive prefix 0..n_contrib-1 of global steps, replaying global
+    steps in descending order visits each ray's faces in exactly the
+    reverse order the marching backward walks them. The suffix
+    accumulators (backward.cu:262-284) are pure elementwise recurrences on
+    the logged rows, and prev_T comes straight from the log instead of the
+    division-chain reconstruction (backward.cu:273-277) -- numerically
+    tighter, identical in exact arithmetic.
+
+    Gradient records (9 vertex-color moments + dL/d(opacity), keyed by
+    face) are reduced to per-face sums by a stable sort on the face key
+    with the 10 value columns riding as sort operands, then
+    cumsum + searchsorted + diff -- deterministic, and an order of
+    magnitude cheaper than per-step scatter-adds at march width.
+    """
+    P = verts.shape[0]
+    F = faces.shape[0]
+    N = height * width
+    M0 = B * N
+    log = saved["march_log"]  # [D, G, _NLOG, 128]
+    D, G = log.shape[0], log.shape[1]
+    M = G * 128
+
+    def flat(x, fill=0):
+        x = x.reshape(M0)
+        if M > M0:
+            x = jnp.concatenate(
+                [x, jnp.full((M - M0,), fill, x.dtype)])
+        return x.reshape(G, 128)
+
+    gc = [flat(dL_dcolor[:, ch].reshape(B, N)) for ch in range(3)]
+    gdep = flat(dL_ddepth.reshape(B, N))
+    bg_dot = bg[0] * gc[0] + bg[1] * gc[1] + bg[2] * gc[2] + gdep
+    fT = jnp.exp(flat(saved["final_log_T"]))
+    fpT = jnp.exp(flat(saved["final_prev_log_T"]))
+    nc = flat(saved["n_contrib"]).astype(jnp.float32)
+    valid_ray = flat(saved["is_active"].astype(jnp.float32)) != 0.0
+
+    def step(carry, s):
+        la, lcr, lcg, lcb, ld, ar, ag, ab, ad = carry
+        slab = log[s]  # [G, _NLOG, 128]
+        L = lambda r: slab[:, r, :]
+        cf = L(_L_CF)
+        alpha = L(_L_ALPHA)
+        prev_T = L(_L_TBEF)
+        u, v = L(_L_U), L(_L_V)
+        cr, cg_, cb = L(_L_CR), L(_L_CG), L(_L_CB)
+        dep = L(_L_DEP)
+        inten = L(_L_INTEN)
+        m = valid_ray & (s.astype(jnp.float32) < nc) & (cf >= 0.0)
+        mf = m.astype(jnp.float32)
+
+        # suffix accumulators (backward.cu:262-284): acc_new folds in the
+        # LAST-processed (one-closer-to-the-end) face's alpha/color
+        ar_n = la * lcr + (1.0 - la) * ar
+        ag_n = la * lcg + (1.0 - la) * ag
+        ab_n = la * lcb + (1.0 - la) * ab
+        ad_n = la * ld + (1.0 - la) * ad
+
+        dL_dop = ((cr - ar_n) * gc[0] + (cg_ - ag_n) * gc[1]
+                  + (cb - ab_n) * gc[2] + (dep - ad_n) * gdep) * prev_T
+        # background term (backward.cu:317-339)
+        bg_coef = jnp.where(alpha == 1.0, -fpT,
+                            -fT / jnp.maximum(1.0 - alpha, 1e-37))
+        dL_dop = (dL_dop + bg_coef * bg_dot) * mf
+
+        wm = inten * prev_T * alpha * mf
+        i1, i2 = u, v
+        i0 = 1.0 - u - v
+        recs = (wm * i0 * gc[0], wm * i0 * gc[1], wm * i0 * gc[2],
+                wm * i1 * gc[0], wm * i1 * gc[1], wm * i1 * gc[2],
+                wm * i2 * gc[0], wm * i2 * gc[1], wm * i2 * gc[2],
+                dL_dop)
+        key = jnp.where(m, cf, jnp.float32(F)).astype(jnp.int32)
+
+        la = jnp.where(m, alpha, la)
+        lcr = jnp.where(m, cr, lcr)
+        lcg = jnp.where(m, cg_, lcg)
+        lcb = jnp.where(m, cb, lcb)
+        ld = jnp.where(m, dep, ld)
+        ar = jnp.where(m, ar_n, ar)
+        ag = jnp.where(m, ag_n, ag)
+        ab = jnp.where(m, ab_n, ab)
+        ad = jnp.where(m, ad_n, ad)
+        return (la, lcr, lcg, lcb, ld, ar, ag, ab, ad), (key,) + recs
+
+    zero = jnp.zeros((G, 128), jnp.float32)
+    ss = jnp.arange(D - 1, -1, -1, dtype=jnp.int32)
+    _, outs = lax.scan(step, (zero,) * 9, ss)
+    key_s, rec_s = outs[0], outs[1:]  # [D, G, 128] each (descending s)
+
+    nc_max = jnp.max(saved["n_contrib"])
+    acc10 = jnp.zeros((10, F), jnp.float32)
+    K = REPLAY_REDUCE_BATCH
+    for b in range((D + K - 1) // K):
+        kb = min(K, D - b * K)
+        s_lo = D - (b * K + kb)  # smallest global step in this batch
+
+        def reduce_batch(_, _b=b, _kb=kb):
+            keys = key_s[_b * K:_b * K + _kb].reshape(-1)
+            vals = tuple(r[_b * K:_b * K + _kb].reshape(-1) for r in rec_s)
+            ks = lax.sort((keys,) + vals, num_keys=1, is_stable=True)
+            colsum = jnp.cumsum(jnp.stack(ks[1:]), axis=1)  # [10, n]
+            bnd = jnp.searchsorted(ks[0],
+                                   jnp.arange(F + 1, dtype=jnp.int32))
+            z = jnp.concatenate(
+                [jnp.zeros((10, 1), jnp.float32), colsum], axis=1)
+            return z[:, bnd[1:]] - z[:, bnd[:-1]]  # [10, F]
+
+        acc10 = acc10 + lax.cond(
+            jnp.int32(s_lo) < nc_max, reduce_batch,
+            lambda _: jnp.zeros((10, F), jnp.float32), 0)
+
+    face_acc = acc10.T  # [F, 10]
+    g_vcolor = jnp.zeros((P, 3), jnp.float32).at[faces].add(
+        face_acc[:, 0:9].reshape(F, 3, 3), mode="drop")
+    g_fopacity = face_acc[:, 9]
+    return g_vcolor, g_fopacity
+
+
+# =============================================================================
+# Backward march (fallback for walks deeper than the log)
 # =============================================================================
 
 def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
@@ -1087,11 +1327,28 @@ def _tet_bwd(height, width, seed, max_steps, kcap, with_aux, res, cots):
     else:
         dL_dcolor, dL_ddepth, _dL_dactive = cots
 
-    g_vcolor, g_fopacity = _render_tet_backward(
-        verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
-        inv_proj_t, faces_intense, tets, face_tets, tet_faces, bg,
-        height, width, seed, max_steps, saved, dL_dcolor, dL_ddepth,
-    )
+    B = mv_t.shape[0]
+
+    def replay(_):
+        return _render_tet_backward_replay(
+            verts, faces, bg, saved, dL_dcolor, dL_ddepth, B, height, width)
+
+    log_depth = saved["march_log"].shape[0]
+    if int(max_steps) <= log_depth:
+        # the log always covers the whole walk: no fallback compiled
+        g_vcolor, g_fopacity = replay(0)
+    else:
+        def marching(_):
+            return _render_tet_backward(
+                verts, faces, verts_color, faces_opacity, mv_t, proj_t,
+                inv_mv_t, inv_proj_t, faces_intense, tets, face_tets,
+                tet_faces, bg, height, width, seed, max_steps, saved,
+                dL_dcolor, dL_ddepth,
+            )
+
+        nc_max = jnp.max(saved["n_contrib"])
+        g_vcolor, g_fopacity = lax.cond(
+            nc_max <= jnp.int32(log_depth), replay, marching, 0)
 
     def zi(x):
         return np.zeros(x.shape, jax.dtypes.float0)

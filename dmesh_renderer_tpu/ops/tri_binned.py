@@ -885,26 +885,35 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
 
     rec4 = _run_bwd_kernel(keys.starts, keys.ends, attr_tab, rayd_t,
                            pix_t, fwd_state_t, gin_t, n_tiles, cap)
-    rec = rec4.reshape(cap, REC_COLS)  # un-pack: 4 records per 128-lane row
 
-    # Reduce per-slot records to per-(view, face) gradients with ONE
-    # deterministic segment scatter-add keyed by the slot's (view, face) id
-    # -- the structural analog of the reference's atomicAdd scatter
-    # (backward.cu:389-418), but with a fixed summation order. Collisions
-    # (a face touching many tiles) serialize inside XLA's scatter yet this
-    # is ~7x cheaper at 100k tris than routing records through per-emission
-    # slots (round 1): the [cap, 24] unique-index row SCATTER was the
-    # backward's wall, not the collisions. No validity masking is needed:
-    # slabs the kernel never visits stay zero (zero-initialized donated
-    # output), in-slab tail rows are zeroed by the kernel, and padding
-    # slots carry flat=0, so they add exact zeros to the nearest face of
-    # view 0. ``keys.flat`` lives in depth-sorted face space; the summed
-    # rows are un-permuted back to original (view, face) order through
-    # sigma at face scale (the slot-scale arrays never leave sorted space).
-    face_g_sorted = (
-        jnp.zeros((B * F, NG_USED), jnp.float32)
-        .at[keys.flat].add(rec[:, :NG_USED])
-    )
+    # Reduce per-slot records to per-(view, face) gradients -- the
+    # structural analog of the reference's atomicAdd scatter
+    # (backward.cu:389-418), deterministic by construction: a stable sort
+    # on the slot's (view, face) key with all record columns riding as
+    # sort operands, then cumsum + searchsorted + diff per face. Bulk
+    # vector ops at ~1-2 ns/element replace the round-2 segment
+    # scatter-add's ~14.5 ns/row sequential-update loop (measured,
+    # tools/exp_round3.py e6/e7) -- ~2.5x cheaper at bench capacity. No
+    # validity masking is needed: slabs the kernel never visits stay zero
+    # (zero-initialized donated output), in-slab tail rows are zeroed by
+    # the kernel, and padding slots carry flat=0, so they contribute
+    # exact zeros to the nearest face of view 0. ``keys.flat`` lives in
+    # depth-sorted face space; the summed rows are un-permuted back to
+    # original (view, face) order through sigma at face scale (the
+    # slot-scale arrays never leave sorted space).
+    from .binning import _relayout
+
+    rec_cols = _relayout(rec4.reshape(cap, REC_COLS), REC_COLS)
+    sorted_ops = lax.sort(
+        (keys.flat,) + tuple(
+            rec_cols[:, c, :].reshape(cap) for c in range(NG_USED)),
+        num_keys=1, is_stable=True)
+    colsum = jnp.cumsum(jnp.stack(sorted_ops[1:]), axis=1)  # [24, cap]
+    bnd = jnp.searchsorted(sorted_ops[0],
+                           jnp.arange(B * F + 1, dtype=jnp.int32))
+    z = jnp.concatenate(
+        [jnp.zeros((NG_USED, 1), jnp.float32), colsum], axis=1)
+    face_g_sorted = (z[:, bnd[1:]] - z[:, bnd[:-1]]).T  # [B*F, 24]
     face_g = (
         jnp.zeros((B * F, NG_USED), jnp.float32)
         .at[keys.sigma].set(face_g_sorted, unique_indices=True)

@@ -490,6 +490,47 @@ def e10():
     print(f"e10 dense 17-step replay scan: {measure(replay, log)-base:.3f} ms")
 
 
+
+
+def e12():
+    """Per-batch sort-reduce cost at candidate batch sizes: the backward
+    record-reduction design (sort 11-op + cumsum + searchsorted + diff +
+    dense add)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    F = 98_400
+    rng = np.random.RandomState(0)
+    measure = _timer()
+    base = measure(lambda a, s: (a[:1] + s).astype(jnp.float32),
+                   jnp.zeros((128,), jnp.int32))
+    print(f"e12 dispatch baseline: {base:.3f} ms")
+
+    for N in (640_000, 1_280_000, 2_560_000, 5_120_000):
+        keys = jnp.asarray(rng.randint(0, F, N).astype(np.int32))
+        vals = [jnp.asarray(rng.rand(N).astype(np.float32))
+                for _ in range(10)]
+
+        def reduce_batch(a, s):
+            ks, *vs = lax.sort(tuple([a + s] + vals), num_keys=1,
+                               is_stable=True)
+            colsum = jnp.cumsum(jnp.stack(vs), axis=1)  # [10, N]
+            b = jnp.searchsorted(ks, jnp.arange(F + 1, dtype=jnp.int32))
+            z = jnp.concatenate(
+                [jnp.zeros((10, 1), jnp.float32), colsum], axis=1)
+            return z[:, b[1:]] - z[:, b[:-1]]  # [10, F]
+
+        print(f"e12 N={N} full sort-reduce: "
+              f"{measure(reduce_batch, keys)-base:.3f} ms", flush=True)
+
+        def sort_only(a, s):
+            return lax.sort(tuple([a + s] + vals), num_keys=1,
+                            is_stable=True)[0]
+
+        print(f"e12 N={N} sort only: "
+              f"{measure(sort_only, keys)-base:.3f} ms", flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1:] or ["e2", "e3", "e4", "e5", "e6", "e1"]
     for name in which:

@@ -85,7 +85,7 @@ def main():
         ray_o, ray_d = generate_rays(args[6], args[7], W, H,
                                      norm_eps_mode="tet")
         kcap = default_key_capacity(1, args[1].shape[0], avg_tiles_per_face=8)
-        ff, rt, iu, iv = first_intersection_binned(
+        ff, rt, iu, iv, _aux = first_intersection_binned(
             args[0], args[1], pre, img, args[6][:, 3, :3], ray_d, H, W, 1,
             kcap)
         return jnp.sum(rt) + jnp.sum(ff) + jnp.sum(fo)
