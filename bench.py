@@ -141,11 +141,16 @@ def bench_tet_scaled(n_grid=20, height=800, width=800, n_views=1, iters=3,
     )))
     bg = jnp.asarray(np.array([0.1, 0.1, 0.1], np.float32))
 
+    # max_steps == the march-log depth: the replay backward covers every
+    # walk statically (scene p100 = 17 steps), so the marching-backward
+    # fallback branch is not even compiled -- halves the tet compile time
+    from dmesh_renderer_tpu.ops.tet import LOG_CAP
+
     def loss(vcolor, fo):
         c, d, _active = render_tet_core(
             args[0], args[1], vcolor, fo, args[4], args[5], args[6],
             args[7], args[8], args[9], args[10], args[11], bg,
-            height, width, 0, kcap=kcap,
+            height, width, 0, max_steps=LOG_CAP, kcap=kcap,
         )
         return jnp.sum(c) + jnp.sum(d)
 

@@ -935,7 +935,10 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
     # would force log writes through pathological row scatters.
     log_depth = max(1, min(LOG_CAP, int(max_steps)))
     G = M // 128
-    log0 = jnp.zeros((log_depth, G, _NLOG, 128), jnp.float32)
+    # dead slabs (beyond the walk) carry face -1: the replay's s < nc guard
+    # already excludes them per ray, but -1 keeps every log consumer honest
+    log0 = jnp.zeros((log_depth, G, _NLOG, 128), jnp.float32).at[
+        :, :, _L_CF, :].set(-1.0)
 
     def cond(carry):
         st, _log, step = carry
@@ -988,12 +991,49 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
 # Backward: log replay (fast path)
 # =============================================================================
 
-# March-log steps reduced per sort batch. Each batch pays one
-# (batch*M)-element 11-operand stable sort + cumsum + searchsorted --
-# bulk-vector ops at ~1-2 ns/element (tools/exp_round3.py e7/e12) vs
-# ~14.5 ns/row for the per-step scatter-add they replace; batches whose
-# steps all exceed the longest walk are skipped under lax.cond.
+# March-log steps reduced per batch; batches whose steps all exceed the
+# longest walk are skipped under lax.cond.
 REPLAY_REDUCE_BATCH = 6
+
+# Static survivor capacity per reduce batch, as a fraction of the batch's
+# slot count. Adjacent rays walk in phase (mean same-face run length ~10
+# at the bench scene, 536k runs for 5.37M blend events --
+# tools/exp_runstats.py), so merged records are ~10x fewer than slots;
+# 1/8 leaves ~2.4x headroom over the densest measured batch. If a batch's
+# real run count exceeds the cap, a lax.cond falls back to the plain
+# full-width scatter for that batch -- never dropped records.
+REPLAY_SURV_FRAC = 8
+
+
+def _segmented_run_merge(key, cols):
+    """Merge runs of equal adjacent keys WITHIN 128-slot blocks: after
+    this, the first slot of each (run x block) segment holds the segment's
+    column sums (log-shift segmented suffix sum; pure elementwise/slice
+    ops -- no row-granular work). Runs are cut at every 128th slot so the
+    7 shift levels (1+2+...+64 = 127) cover any segment exactly; a run
+    longer than 128 just yields one survivor per block (~N/128 extras).
+
+    key: [N] int32; cols: list of [N] f32.
+    Returns (segment_start mask [N] bool, merged cols).
+    """
+    n = key.shape[0]
+    notb = (jnp.arange(1, n + 1, dtype=jnp.int32) % 128) != 0
+    # ok[i] at level k: slots i .. i+2^k share a key and stay in-block
+    ok = jnp.concatenate(
+        [key[1:] == key[:-1], jnp.zeros((1,), bool)]) & notb
+    shift = 1
+    while shift < 128:
+        okf = ok.astype(jnp.float32)
+        cols = [c + okf * jnp.concatenate(
+            [c[shift:], jnp.zeros((shift,), c.dtype)]) for c in cols]
+        nxt = jnp.concatenate(
+            [ok[shift:], jnp.zeros((shift,), bool)])
+        ok = ok & nxt
+        shift *= 2
+    chg = jnp.concatenate(
+        [jnp.ones((1,), bool), key[1:] != key[:-1]])
+    start = chg | ((jnp.arange(n, dtype=jnp.int32) % 128) == 0)
+    return start, cols
 
 
 def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
@@ -1094,29 +1134,57 @@ def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
     _, outs = lax.scan(step, (zero,) * 9, ss)
     key_s, rec_s = outs[0], outs[1:]  # [D, G, 128] each (descending s)
 
+    # Reduce records to per-face sums. All row-granular ops (scatter,
+    # gather, sort-with-payload) cost ~8-15 ns/ROW on this chip
+    # (tools/exp_honest.py -- honest, all outputs consumed), so the only
+    # real lever is ROW COUNT: adjacent rays walk in phase (mean same-face
+    # run ~10, tools/exp_runstats.py), so records are first merged along
+    # runs with an elementwise log-shift segmented sum (near-free), then
+    # only the ~10x-fewer run survivors are compacted (rank scatter of
+    # positions) and scatter-added into the face table. If a batch has
+    # more survivors than the static cap, a cond falls back to the plain
+    # full-width scatter -- records are never dropped.
     nc_max = jnp.max(saved["n_contrib"])
-    acc10 = jnp.zeros((10, F), jnp.float32)
+    acc = jnp.zeros((F + 1, 10), jnp.float32)  # row F absorbs pad/invalid
     K = REPLAY_REDUCE_BATCH
     for b in range((D + K - 1) // K):
         kb = min(K, D - b * K)
         s_lo = D - (b * K + kb)  # smallest global step in this batch
+        Nb = kb * G * 128
+        s_cap = max(128, Nb // REPLAY_SURV_FRAC)
 
-        def reduce_batch(_, _b=b, _kb=kb):
-            keys = key_s[_b * K:_b * K + _kb].reshape(-1)
-            vals = tuple(r[_b * K:_b * K + _kb].reshape(-1) for r in rec_s)
-            ks = lax.sort((keys,) + vals, num_keys=1, is_stable=True)
-            colsum = jnp.cumsum(jnp.stack(ks[1:]), axis=1)  # [10, n]
-            bnd = jnp.searchsorted(ks[0],
-                                   jnp.arange(F + 1, dtype=jnp.int32))
-            z = jnp.concatenate(
-                [jnp.zeros((10, 1), jnp.float32), colsum], axis=1)
-            return z[:, bnd[1:]] - z[:, bnd[:-1]]  # [10, F]
+        def reduce_batch(acc, _b=b, _kb=kb, _Nb=Nb, _scap=s_cap):
+            keys = key_s[_b * K:_b * K + _kb].reshape(-1)  # F = invalid
+            cols = [r[_b * K:_b * K + _kb].reshape(-1) for r in rec_s]
+            start, merged = _segmented_run_merge(keys, cols)
+            valid_start = start & (keys < F)
+            rank = jnp.cumsum(valid_start.astype(jnp.int32))
+            s_real = rank[-1]
+            rows = jnp.stack([keys.astype(jnp.float32)] + merged, axis=1)
 
-        acc10 = acc10 + lax.cond(
-            jnp.int32(s_lo) < nc_max, reduce_batch,
-            lambda _: jnp.zeros((10, F), jnp.float32), 0)
+            def compact(acc):
+                pos = jnp.arange(_Nb, dtype=jnp.int32)
+                surv = jnp.full((_scap,), _Nb - 1, jnp.int32).at[
+                    jnp.where(valid_start, rank - 1, _scap)
+                ].set(pos, mode="drop")
+                g = rows[surv]  # [scap, 11]
+                k_g = jnp.where(
+                    jnp.arange(_scap, dtype=jnp.int32) < s_real,
+                    g[:, 0].astype(jnp.int32), F)
+                return acc.at[k_g].add(g[:, 1:])
 
-    face_acc = acc10.T  # [F, 10]
+            def full(acc):
+                # survivor overflow: scatter every merged row; non-start
+                # rows carry partial sums and go to the absorber row
+                k_all = jnp.where(valid_start, keys, F)
+                return acc.at[k_all].add(rows[:, 1:])
+
+            return lax.cond(s_real <= jnp.int32(_scap), compact, full, acc)
+
+        acc = lax.cond(jnp.int32(s_lo) < nc_max, reduce_batch,
+                       lambda a: a, acc)
+
+    face_acc = acc[:F]  # [F, 10]
     g_vcolor = jnp.zeros((P, 3), jnp.float32).at[faces].add(
         face_acc[:, 0:9].reshape(F, 3, 3), mode="drop")
     g_fopacity = face_acc[:, 9]

@@ -122,6 +122,15 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# When True, the backward rebuilds the [cap, 128] slot attribute table from
+# the (F-scale) face table + saved keys instead of keeping it as a
+# custom_vjp residual: trades one slot-scale row gather (~9 ms at bench
+# capacity) for ~0.5 GB/view-batch of residual memory. Residual memory is
+# the prime suspect for the super-linear B=4 backward degradation
+# (VERDICT r2 W2); tools/exp_b4_attrs.py measures both settings.
+RECOMPUTE_BWD_ATTRS = False
+
+
 # =============================================================================
 # XLA-side slot attribute construction
 # =============================================================================
@@ -845,7 +854,11 @@ def _b_fwd(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     _overflow_warning(keys, kcap)
     # Residuals keep the slot attr tables and tiled ray/pixel data -- the
     # analog of the reference's opaque saved buffers (__init__.py:97-110) --
-    # so the backward pass skips the projection/sort/gather rebuild.
+    # so the backward pass skips the projection/sort/gather rebuild. With
+    # RECOMPUTE_BWD_ATTRS the cap-scale attr table is dropped from the
+    # residuals and rebuilt in the backward (memory/time trade, see flag).
+    if RECOMPUTE_BWD_ATTRS:
+        saved = (None,) + saved[1:]
     res = (verts, faces, verts_color, faces_opacity, mv_t, proj_t,
            inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg,
            fwd_state_t, keys, saved)
@@ -874,6 +887,13 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
     cap = aligned_capacity(kcap, n_tiles, SLAB)
 
     attr_tab, rayd_t, pix_t = saved
+    if attr_tab is None:  # RECOMPUTE_BWD_ATTRS at fwd time
+        ndc, img = project_verts(verts, mv_t, proj_t, width, height)
+        face_tab = _build_face_table(
+            verts, faces, verts_color, faces_opacity, verts_depth,
+            faces_intense, img, inv_mv_t[:, 3, :3],
+        )
+        attr_tab = _build_slot_attrs(face_tab, keys)
 
     gcol = dL_dcolor.transpose(0, 2, 3, 1)  # [B, H, W, 3]
     gdep = dL_ddepth[:, 0, :, :]  # [B, H, W]
@@ -886,34 +906,32 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
     rec4 = _run_bwd_kernel(keys.starts, keys.ends, attr_tab, rayd_t,
                            pix_t, fwd_state_t, gin_t, n_tiles, cap)
 
-    # Reduce per-slot records to per-(view, face) gradients -- the
-    # structural analog of the reference's atomicAdd scatter
-    # (backward.cu:389-418), deterministic by construction: a stable sort
-    # on the slot's (view, face) key with all record columns riding as
-    # sort operands, then cumsum + searchsorted + diff per face. Bulk
-    # vector ops at ~1-2 ns/element replace the round-2 segment
-    # scatter-add's ~14.5 ns/row sequential-update loop (measured,
-    # tools/exp_round3.py e6/e7) -- ~2.5x cheaper at bench capacity. No
-    # validity masking is needed: slabs the kernel never visits stay zero
-    # (zero-initialized donated output), in-slab tail rows are zeroed by
-    # the kernel, and padding slots carry flat=0, so they contribute
-    # exact zeros to the nearest face of view 0. ``keys.flat`` lives in
-    # depth-sorted face space; the summed rows are un-permuted back to
-    # original (view, face) order through sigma at face scale (the
-    # slot-scale arrays never leave sorted space).
-    from .binning import _relayout
+    rec = rec4.reshape(cap, REC_COLS)  # un-pack: 4 records per 128-lane row
 
-    rec_cols = _relayout(rec4.reshape(cap, REC_COLS), REC_COLS)
-    sorted_ops = lax.sort(
-        (keys.flat,) + tuple(
-            rec_cols[:, c, :].reshape(cap) for c in range(NG_USED)),
-        num_keys=1, is_stable=True)
-    colsum = jnp.cumsum(jnp.stack(sorted_ops[1:]), axis=1)  # [24, cap]
-    bnd = jnp.searchsorted(sorted_ops[0],
-                           jnp.arange(B * F + 1, dtype=jnp.int32))
-    z = jnp.concatenate(
-        [jnp.zeros((NG_USED, 1), jnp.float32), colsum], axis=1)
-    face_g_sorted = (z[:, bnd[1:]] - z[:, bnd[:-1]]).T  # [B*F, 24]
+    # Reduce per-slot records to per-(view, face) gradients with ONE
+    # deterministic segment scatter-add keyed by the slot's (view, face) id
+    # -- the structural analog of the reference's atomicAdd scatter
+    # (backward.cu:389-418), but with a fixed summation order. Collisions
+    # (a face touching many tiles) serialize inside XLA's scatter yet this
+    # is ~7x cheaper at 100k tris than routing records through per-emission
+    # slots (round 1): the [cap, 24] unique-index row SCATTER was the
+    # backward's wall, not the collisions. Round-3 note: a sort-based
+    # segment reduction (payload riding the sort + cumsum + searchsorted)
+    # was implemented and REVERTED -- honest measurements with every sort
+    # operand consumed (tools/exp_honest.py; an earlier harness let XLA
+    # DCE the payload) put a 25-operand sort + boundary extraction ABOVE
+    # the ~14.5 ns/row scatter at this capacity. No validity masking is
+    # needed: slabs the kernel never visits stay zero (zero-initialized
+    # donated output), in-slab tail rows are zeroed by the kernel, and
+    # padding slots carry flat=0, so they add exact zeros to the nearest
+    # face of view 0. ``keys.flat`` lives in depth-sorted face space; the
+    # summed rows are un-permuted back to original (view, face) order
+    # through sigma at face scale (the slot-scale arrays never leave
+    # sorted space).
+    face_g_sorted = (
+        jnp.zeros((B * F, NG_USED), jnp.float32)
+        .at[keys.flat].add(rec[:, :NG_USED])
+    )
     face_g = (
         jnp.zeros((B * F, NG_USED), jnp.float32)
         .at[keys.sigma].set(face_g_sorted, unique_indices=True)

@@ -292,3 +292,34 @@ def test_freudenthal_grid_renders_and_differentiates():
     assert np.isfinite(np.array(g_fo)).all()
     assert float(jnp.sum(jnp.abs(g_vc))) > 0
     assert float(jnp.sum(jnp.abs(g_fo))) > 0
+
+
+def test_replay_survivor_overflow_fallback_identical():
+    """The replay reduction's compact path (run-merge + rank compaction)
+    and its survivor-overflow fallback (full-width scatter of merged rows)
+    must produce identical gradients: force the fallback by shrinking the
+    static survivor cap to its floor."""
+    import dmesh_renderer_tpu.ops.tet as tet_mod
+
+    a = _args_single_tet(opacity=(0.3, 0.5, 0.6, 0.4), color=0.8,
+                         bg=(0.1, 0.1, 0.1))
+
+    def loss(vc, fo):
+        c, d, _act = render_tet_core(
+            a["verts"], a["faces"], vc, fo, a["mv_t"], a["proj_t"],
+            a["inv_mv_t"], a["inv_proj_t"], a["faces_intense"], a["tets"],
+            a["face_tets"], a["tet_faces"], a["bg"], H, W, 0)
+        return jnp.sum(c * c) + jnp.sum(d)
+
+    g1 = jax.grad(loss, argnums=(0, 1))(a["verts_color"],
+                                        a["faces_opacity"])
+    old = tet_mod.REPLAY_SURV_FRAC
+    try:
+        tet_mod.REPLAY_SURV_FRAC = 10**9  # s_cap floor=128 -> overflow path
+        g2 = jax.grad(loss, argnums=(0, 1))(a["verts_color"],
+                                            a["faces_opacity"])
+    finally:
+        tet_mod.REPLAY_SURV_FRAC = old
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.array(a), np.array(b),
+                                   rtol=1e-6, atol=1e-7)
