@@ -995,45 +995,14 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
 # longest walk are skipped under lax.cond.
 REPLAY_REDUCE_BATCH = 6
 
-# Static survivor capacity per reduce batch, as a fraction of the batch's
-# slot count. Adjacent rays walk in phase (mean same-face run length ~10
-# at the bench scene, 536k runs for 5.37M blend events --
-# tools/exp_runstats.py), so merged records are ~10x fewer than slots;
-# 1/8 leaves ~2.4x headroom over the densest measured batch. If a batch's
-# real run count exceeds the cap, a lax.cond falls back to the plain
-# full-width scatter for that batch -- never dropped records.
-REPLAY_SURV_FRAC = 8
-
-
-def _segmented_run_merge(key, cols):
-    """Merge runs of equal adjacent keys WITHIN 128-slot blocks: after
-    this, the first slot of each (run x block) segment holds the segment's
-    column sums (log-shift segmented suffix sum; pure elementwise/slice
-    ops -- no row-granular work). Runs are cut at every 128th slot so the
-    7 shift levels (1+2+...+64 = 127) cover any segment exactly; a run
-    longer than 128 just yields one survivor per block (~N/128 extras).
-
-    key: [N] int32; cols: list of [N] f32.
-    Returns (segment_start mask [N] bool, merged cols).
-    """
-    n = key.shape[0]
-    notb = (jnp.arange(1, n + 1, dtype=jnp.int32) % 128) != 0
-    # ok[i] at level k: slots i .. i+2^k share a key and stay in-block
-    ok = jnp.concatenate(
-        [key[1:] == key[:-1], jnp.zeros((1,), bool)]) & notb
-    shift = 1
-    while shift < 128:
-        okf = ok.astype(jnp.float32)
-        cols = [c + okf * jnp.concatenate(
-            [c[shift:], jnp.zeros((shift,), c.dtype)]) for c in cols]
-        nxt = jnp.concatenate(
-            [ok[shift:], jnp.zeros((shift,), bool)])
-        ok = ok & nxt
-        shift *= 2
-    chg = jnp.concatenate(
-        [jnp.ones((1,), bool), key[1:] != key[:-1]])
-    start = chg | ((jnp.arange(n, dtype=jnp.int32) % 128) == 0)
-    return start, cols
+# Per-128-lane-block survivor budget for the one-hot run extraction.
+# Adjacent rays walk in phase (mean same-face run length ~10 at the bench
+# scene: 536k runs for 5.37M blend events, tools/exp_runstats.py), so a
+# 128-slot block holds ~12 valid runs on average and the bench scene's
+# worst block holds 26 (tools/exp_block_runs.py). If any block in a batch
+# exceeds the budget, a lax.cond falls back to the full-width scatter for
+# that batch -- records are never dropped.
+REPLAY_BLOCK_K = 32
 
 
 def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
@@ -1129,60 +1098,89 @@ def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
         ad = jnp.where(m, ad_n, ad)
         return (la, lcr, lcg, lcb, ld, ar, ag, ab, ad), (key,) + recs
 
-    zero = jnp.zeros((G, 128), jnp.float32)
-    ss = jnp.arange(D - 1, -1, -1, dtype=jnp.int32)
-    _, outs = lax.scan(step, (zero,) * 9, ss)
-    key_s, rec_s = outs[0], outs[1:]  # [D, G, 128] each (descending s)
-
+    # Replay in descending-step batches. Each batch runs its slice of the
+    # suffix-accumulator scan AND its record reduction under one
+    # lax.cond, so steps beyond the longest walk compute nothing at all
+    # (the skipped steps cannot touch the carried accumulators: their
+    # masks are false for every ray by definition of n_contrib).
+    #
     # Reduce records to per-face sums. All row-granular ops (scatter,
     # gather, sort-with-payload) cost ~8-15 ns/ROW on this chip
-    # (tools/exp_honest.py -- honest, all outputs consumed), so the only
-    # real lever is ROW COUNT: adjacent rays walk in phase (mean same-face
-    # run ~10, tools/exp_runstats.py), so records are first merged along
-    # runs with an elementwise log-shift segmented sum (near-free), then
-    # only the ~10x-fewer run survivors are compacted (rank scatter of
-    # positions) and scatter-added into the face table. If a batch has
-    # more survivors than the static cap, a cond falls back to the plain
-    # full-width scatter -- records are never dropped.
+    # (tools/exp_honest.py -- honest, all outputs consumed), so the
+    # reduction must avoid Nb-scale row ops entirely: adjacent rays walk
+    # in phase (mean same-face run ~10, tools/exp_runstats.py), so each
+    # 128-lane block holds ~12 distinct face runs. Run ids come from an
+    # in-block cumsum; a one-hot batched contraction over the lane axis
+    # (MXU) then produces each block's run sums AND keys in fixed
+    # [R, BK] layout -- elementwise + matmul only -- and the scatter-add
+    # runs at R*BK survivor scale (~4x fewer rows than even the slot
+    # count of one batch). Measured 4x cheaper than the previous
+    # merge + rank-compaction (tools/exp_onehot_extract.py). HIGHEST
+    # precision keeps the one-hot contraction f32-exact (the default
+    # 3-pass bf16 decomposition loses mantissa bits).
     nc_max = jnp.max(saved["n_contrib"])
+    zero = jnp.zeros((G, 128), jnp.float32)
     acc = jnp.zeros((F + 1, 10), jnp.float32)  # row F absorbs pad/invalid
+    carry = (zero,) * 9  # suffix accumulators, chained across batches
     K = REPLAY_REDUCE_BATCH
+    BK = REPLAY_BLOCK_K
     for b in range((D + K - 1) // K):
         kb = min(K, D - b * K)
         s_lo = D - (b * K + kb)  # smallest global step in this batch
-        Nb = kb * G * 128
-        s_cap = max(128, Nb // REPLAY_SURV_FRAC)
+        R = kb * G  # 128-lane blocks in this batch
 
-        def reduce_batch(acc, _b=b, _kb=kb, _Nb=Nb, _scap=s_cap):
-            keys = key_s[_b * K:_b * K + _kb].reshape(-1)  # F = invalid
-            cols = [r[_b * K:_b * K + _kb].reshape(-1) for r in rec_s]
-            start, merged = _segmented_run_merge(keys, cols)
-            valid_start = start & (keys < F)
-            rank = jnp.cumsum(valid_start.astype(jnp.int32))
-            s_real = rank[-1]
-            rows = jnp.stack([keys.astype(jnp.float32)] + merged, axis=1)
+        def run_batch(carry_acc, _b=b, _kb=kb, _R=R):
+            carry, acc = carry_acc
+            ss = jnp.arange(D - 1 - _b * K, D - 1 - _b * K - _kb, -1,
+                            dtype=jnp.int32)
+            carry, outs = lax.scan(step, carry, ss)
+            keys = outs[0].reshape(_R, 128)
+            cols = [r.reshape(_R, 128) for r in outs[1:]]
+            valid = keys < F
+            chg = jnp.concatenate(
+                [jnp.ones((_R, 1), bool), keys[:, 1:] != keys[:, :-1]],
+                axis=1)
+            vstart = chg & valid
+            # 1-based id of each valid lane's run within its block (an
+            # invalid gap forces chg at the next valid lane, so a valid
+            # lane's id is always its own run's)
+            ridx = jnp.cumsum(vstart.astype(jnp.int32), axis=1)
+            n_runs = jnp.max(ridx[:, -1])
 
             def compact(acc):
-                pos = jnp.arange(_Nb, dtype=jnp.int32)
-                surv = jnp.full((_scap,), _Nb - 1, jnp.int32).at[
-                    jnp.where(valid_start, rank - 1, _scap)
-                ].set(pos, mode="drop")
-                g = rows[surv]  # [scap, 11]
-                k_g = jnp.where(
-                    jnp.arange(_scap, dtype=jnp.int32) < s_real,
-                    g[:, 0].astype(jnp.int32), F)
-                return acc.at[k_g].add(g[:, 1:])
+                jj = jnp.arange(1, BK + 1, dtype=jnp.int32)
+                oh = (valid[:, None, :]
+                      & (ridx[:, None, :] == jj[None, :, None]))
+                # ride the key and a start-count along as value columns:
+                # only the start lane contributes the key (exact in f32:
+                # ids < 2^24, summed once), the count marks empty slots
+                kcol = jnp.where(vstart, keys, 0).astype(jnp.float32)
+                ccol = vstart.astype(jnp.float32)
+                cstack = jnp.stack(cols + [kcol, ccol], axis=1)
+                ext = lax.dot_general(
+                    oh.astype(jnp.float32), cstack,
+                    (((2,), (2,)), ((0,), (0,))),
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)  # [R, BK, 12]
+                k_flat = jnp.where(
+                    ext[:, :, 11] > 0.0,
+                    ext[:, :, 10].astype(jnp.int32), F).reshape(_R * BK)
+                return acc.at[k_flat].add(
+                    ext[:, :, :10].reshape(_R * BK, 10))
 
             def full(acc):
-                # survivor overflow: scatter every merged row; non-start
-                # rows carry partial sums and go to the absorber row
-                k_all = jnp.where(valid_start, keys, F)
-                return acc.at[k_all].add(rows[:, 1:])
+                # a block exceeded the run budget: plain full-width
+                # scatter of the raw records (already masked to zero on
+                # invalid slots); invalid keys hit the absorber row
+                k_all = jnp.where(valid, keys, F).reshape(-1)
+                vals = jnp.stack([c.reshape(-1) for c in cols], axis=1)
+                return acc.at[k_all].add(vals)
 
-            return lax.cond(s_real <= jnp.int32(_scap), compact, full, acc)
+            acc = lax.cond(n_runs <= jnp.int32(BK), compact, full, acc)
+            return carry, acc
 
-        acc = lax.cond(jnp.int32(s_lo) < nc_max, reduce_batch,
-                       lambda a: a, acc)
+        carry, acc = lax.cond(jnp.int32(s_lo) < nc_max, run_batch,
+                              lambda ca: ca, (carry, acc))
 
     face_acc = acc[:F]  # [F, 10]
     g_vcolor = jnp.zeros((P, 3), jnp.float32).at[faces].add(

@@ -295,10 +295,10 @@ def test_freudenthal_grid_renders_and_differentiates():
 
 
 def test_replay_survivor_overflow_fallback_identical():
-    """The replay reduction's compact path (run-merge + rank compaction)
-    and its survivor-overflow fallback (full-width scatter of merged rows)
-    must produce identical gradients: force the fallback by shrinking the
-    static survivor cap to its floor."""
+    """The replay reduction's compact path (one-hot run extraction) and
+    its overflow fallback (full-width scatter of raw records) must produce
+    matching gradients: force the fallback by shrinking the per-block run
+    budget to zero."""
     import dmesh_renderer_tpu.ops.tet as tet_mod
 
     a = _args_single_tet(opacity=(0.3, 0.5, 0.6, 0.4), color=0.8,
@@ -313,13 +313,13 @@ def test_replay_survivor_overflow_fallback_identical():
 
     g1 = jax.grad(loss, argnums=(0, 1))(a["verts_color"],
                                         a["faces_opacity"])
-    old = tet_mod.REPLAY_SURV_FRAC
+    old = tet_mod.REPLAY_BLOCK_K
     try:
-        tet_mod.REPLAY_SURV_FRAC = 10**9  # s_cap floor=128 -> overflow path
+        tet_mod.REPLAY_BLOCK_K = 0  # any block with a run -> overflow path
         g2 = jax.grad(loss, argnums=(0, 1))(a["verts_color"],
                                             a["faces_opacity"])
     finally:
-        tet_mod.REPLAY_SURV_FRAC = old
+        tet_mod.REPLAY_BLOCK_K = old
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.array(a), np.array(b),
                                    rtol=1e-6, atol=1e-7)

@@ -25,7 +25,7 @@ def main():
     n_tris = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 800
     n_views = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-    kcap = 1_408_000 * n_views
+    kcap = 983_040 * n_views  # matches bench.py's measured+margin capacity
 
     import jax
     import jax.numpy as jnp
