@@ -1004,6 +1004,14 @@ REPLAY_REDUCE_BATCH = 6
 # that batch -- records are never dropped.
 REPLAY_BLOCK_K = 32
 
+# Batches covering the walk's tail are mostly DEAD at block granularity
+# (rays die spatially clustered, so whole 128-lane blocks go invalid
+# together). When a batch's live-block count fits R // this fraction, the
+# live blocks are compacted first -- 1-D ops at R scale (~30k) are near
+# free -- so the extraction AND its survivor scatter shrink by the same
+# factor. Batches with more live blocks skip the compaction (cond).
+REPLAY_BLOCK_COMPACT_FRAC = 8
+
 
 def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
                                 dL_ddepth, B, height, width):
@@ -1140,43 +1148,75 @@ def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
             chg = jnp.concatenate(
                 [jnp.ones((_R, 1), bool), keys[:, 1:] != keys[:, :-1]],
                 axis=1)
-            vstart = chg & valid
             # 1-based id of each valid lane's run within its block (an
             # invalid gap forces chg at the next valid lane, so a valid
             # lane's id is always its own run's)
-            ridx = jnp.cumsum(vstart.astype(jnp.int32), axis=1)
-            n_runs = jnp.max(ridx[:, -1])
+            n_runs = jnp.max(
+                jnp.cumsum((chg & valid).astype(jnp.int32), axis=1)
+                [:, -1])
+            blockmask = jnp.any(valid, axis=1)  # [R] any-live per block
+            nblocks = jnp.sum(blockmask.astype(jnp.int32))
+            R2 = max(128, _R // REPLAY_BLOCK_COMPACT_FRAC)
 
-            def compact(acc):
+            def extract_scatter(acc, ks, cs, r):
+                vld = ks < F
+                ch = jnp.concatenate(
+                    [jnp.ones((r, 1), bool), ks[:, 1:] != ks[:, :-1]],
+                    axis=1)
+                vst = ch & vld
+                rix = jnp.cumsum(vst.astype(jnp.int32), axis=1)
                 jj = jnp.arange(1, BK + 1, dtype=jnp.int32)
-                oh = (valid[:, None, :]
-                      & (ridx[:, None, :] == jj[None, :, None]))
+                oh = vld[:, None, :] & (rix[:, None, :]
+                                        == jj[None, :, None])
                 # ride the key and a start-count along as value columns:
                 # only the start lane contributes the key (exact in f32:
                 # ids < 2^24, summed once), the count marks empty slots
-                kcol = jnp.where(vstart, keys, 0).astype(jnp.float32)
-                ccol = vstart.astype(jnp.float32)
-                cstack = jnp.stack(cols + [kcol, ccol], axis=1)
+                kcol = jnp.where(vst, ks, 0).astype(jnp.float32)
+                ccol = vst.astype(jnp.float32)
+                cstack = jnp.stack(cs + [kcol, ccol], axis=1)
                 ext = lax.dot_general(
                     oh.astype(jnp.float32), cstack,
                     (((2,), (2,)), ((0,), (0,))),
                     precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)  # [R, BK, 12]
+                    preferred_element_type=jnp.float32)  # [r, BK, 12]
                 k_flat = jnp.where(
                     ext[:, :, 11] > 0.0,
-                    ext[:, :, 10].astype(jnp.int32), F).reshape(_R * BK)
+                    ext[:, :, 10].astype(jnp.int32), F).reshape(r * BK)
                 return acc.at[k_flat].add(
-                    ext[:, :, :10].reshape(_R * BK, 10))
+                    ext[:, :, :10].reshape(r * BK, 10))
 
-            def full(acc):
-                # a block exceeded the run budget: plain full-width
-                # scatter of the raw records (already masked to zero on
-                # invalid slots); invalid keys hit the absorber row
-                k_all = jnp.where(valid, keys, F).reshape(-1)
-                vals = jnp.stack([c.reshape(-1) for c in cols], axis=1)
-                return acc.at[k_all].add(vals)
+            def blocks_path(acc):
+                # tail batches are mostly dead at block granularity:
+                # compact the live blocks (1-D ops at R scale, near free)
+                # so extraction + scatter run at R2 blocks
+                rank = jnp.cumsum(blockmask.astype(jnp.int32))
+                surv = jnp.zeros((R2,), jnp.int32).at[
+                    jnp.where(blockmask, rank - 1, R2)
+                ].set(jnp.arange(_R, dtype=jnp.int32), mode="drop")
+                live = (jnp.arange(R2, dtype=jnp.int32)
+                        < nblocks)[:, None]
+                k2 = jnp.where(live, keys[surv], F)
+                c2 = [c[surv] for c in cols]
+                return extract_scatter(acc, k2, c2, R2)
 
-            acc = lax.cond(n_runs <= jnp.int32(BK), compact, full, acc)
+            def wide(acc):
+                def full(acc):
+                    # a block exceeded the run budget: plain full-width
+                    # scatter of the raw records (already masked to zero
+                    # on invalid slots); invalid keys hit the absorber
+                    k_all = jnp.where(valid, keys, F).reshape(-1)
+                    vals = jnp.stack(
+                        [c.reshape(-1) for c in cols], axis=1)
+                    return acc.at[k_all].add(vals)
+
+                return lax.cond(
+                    n_runs <= jnp.int32(BK),
+                    lambda a: extract_scatter(a, keys, cols, _R),
+                    full, acc)
+
+            acc = lax.cond(
+                (nblocks <= jnp.int32(R2)) & (n_runs <= jnp.int32(BK)),
+                blocks_path, wide, acc)
             return carry, acc
 
         carry, acc = lax.cond(jnp.int32(s_lo) < nc_max, run_batch,

@@ -108,14 +108,18 @@ _EL = 37           # edge coeff low parts (A & 0xFFF), 9 cols
 _NONDEG = 46       # 0.0 / 1.0 flag
 _FID = 47          # face id (tet first-hit output; ids < 2^24)
 
-NG_USED = 24       # gradient-record columns actually written
+NG_USED = 22       # gradient-record columns actually written
 
-# gradient record column layout
+# gradient record column layout. The face-intensity gradient needs no
+# record of its own: dL/dinten = sum_p icol_raw . dL_dicolor
+# = sum_{k,c} c_attr[k,c] * (sum_p i_k dL_dicolor_c) is a per-face
+# contraction of the VC records with the vertex colors, computed at
+# F-scale on the XLA side (_b_bwd) -- this removes ~24 vector ops and a
+# cross-lane reduction per face-visit from the backward kernel.
 _G_ALPHA = 0
 _G_P = 1           # dL_dp0 xyz, dL_dp1 xyz, dL_dp2 xyz
 _G_VC = 10         # sum i_k * dL_dicolor_ch (k-major, 9)
 _G_VD = 19         # sum i_k * dL_didepth (3)
-_G_IN = 22         # sum icol_raw . dL_dicolor
 
 
 def _interpret() -> bool:
@@ -144,15 +148,18 @@ def _build_face_table(verts, faces, verts_color, faces_opacity,
     min_depth/max_depth: optional [B, F] depth-window keys (tet first-hit)."""
     B = cam_o.shape[0]
     F = faces.shape[0]
-    p0 = verts[faces[:, 0]]  # [F, 3]
-    p1 = verts[faces[:, 1]]
-    p2 = verts[faces[:, 2]]
+    # ONE packed per-vertex gather (position + color): face-scale row
+    # gathers are issue-bound (~12 ns/row), so the fused [P, 6] table
+    # halves the corner-gather cost vs separate verts/color gathers
+    pvt = jnp.concatenate([verts, verts_color], axis=1)  # [P, 6]
+    gv = pvt[faces.reshape(-1)].reshape(F, 3, 6)
+    p0, p1, p2 = gv[:, 0, :3], gv[:, 1, :3], gv[:, 2, :3]
     e1 = p1 - p0
     e2 = p2 - p0
     tv = cam_o[:, None, :] - p0[None]  # [B, F, 3]
     qv = jnp.cross(tv, jnp.broadcast_to(e1[None], tv.shape))
 
-    c = verts_color[faces].reshape(F, 9)  # [F, 9]
+    c = gv[:, :, 3:6].reshape(F, 9)  # [F, 9] corner-major rgb
     d = verts_depth[:, faces]  # [B, F, 3]
 
     fcols = jnp.concatenate(
@@ -552,9 +559,6 @@ def _bwd_face_heavy(st, fs, active, a, u, i0, i1, i2, code, mt, grec, j,
 
     cr, cg, cb, dep = _interp_scalars(fs, i0, i1, i2)
     c_attr = fs["c"]
-    cr_raw = i0 * c_attr[0] + i1 * c_attr[3] + i2 * c_attr[6]
-    cg_raw = i0 * c_attr[1] + i1 * c_attr[4] + i2 * c_attr[7]
-    cb_raw = i0 * c_attr[2] + i1 * c_attr[5] + i2 * c_attr[8]
 
     ar_n = la * lr + (1.0 - la) * ar
     ag_n = la * lg + (1.0 - la) * ag
@@ -693,7 +697,6 @@ def _bwd_face_heavy(st, fs, active, a, u, i0, i1, i2, code, mt, grec, j,
     put(_G_VD + 0, i0 * did)
     put(_G_VD + 1, i1 * did)
     put(_G_VD + 2, i2 * did)
-    put(_G_IN, cr_raw * dic_r + cg_raw * dic_g + cb_raw * dic_b)
 
     return (T, first, la, lr, lg, lb, ld, ar, ag, ab, ad)
 
@@ -941,7 +944,12 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
     inten_bf = faces_intense  # [B, F]
 
     g_fopacity = jnp.sum(face_g[..., _G_ALPHA], axis=0)  # [F]
-    g_fintense = face_g[..., _G_IN]  # [B, F], no reduction needed
+    # dL/dinten = sum_p icol_raw . dL_dicolor, contracted at F-scale from
+    # the VC records (see the record-layout comment): vc_rec[k,c]
+    # = sum_p i_k dL_dicolor_c and icol_raw_c = sum_k i_k c_attr[k,c]
+    c9 = verts_color[faces].reshape(F, 9)  # k-major, channel-minor
+    g_fintense = jnp.einsum(
+        "fj,bfj->bf", c9, face_g[..., _G_VC:_G_VC + 9])  # [B, F]
 
     # verts + vcolor share the faces index: one fused scatter-add
     gp = jnp.sum(face_g[..., _G_P:_G_P + 9], axis=0).reshape(F, 3, 3)
