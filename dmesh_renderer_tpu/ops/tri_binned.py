@@ -103,10 +103,15 @@ _C0 = 12           # c0 rgb, c1 rgb, c2 rgb
 _D0 = 21           # d0 d1 d2
 _ALPHA, _INTEN = 24, 25
 _MIND, _MAXD = 26, 27  # per-face min/max depth keys (tet first-hit window)
-_EH = 28           # edge coeff high parts (A >> 12), 9 cols
-_EL = 37           # edge coeff low parts (A & 0xFFF), 9 cols
-_NONDEG = 46       # 0.0 / 1.0 flag
-_FID = 47          # face id (tet first-hit output; ids < 2^24)
+# Edge coefficients: A/B are coordinate differences (|.| <= 16*dim
+# < 2^14), f32-exact as-is; only the C constants (|.| < 2^28) need the
+# split-half encoding. Storing A/B plain saves 6 scalar SMEM loads,
+# 9 converts and 6 scalar int ops per face-visit in both tile kernels.
+_EAB = 28          # A1 A2 A3 B1 B2 B3, exact f32
+_ECH = 34          # C high parts (C >> 12), 3 cols
+_ECL = 37          # C low parts (C & 0xFFF), 3 cols
+_NONDEG = 40       # 0.0 / 1.0 flag
+_FID = 41          # face id (tet first-hit output; ids < 2^24)
 
 NG_USED = 22       # gradient-record columns actually written
 
@@ -133,6 +138,13 @@ def _interpret() -> bool:
 # the prime suspect for the super-linear B=4 backward degradation
 # (VERDICT r2 W2); tools/exp_b4_attrs.py measures both settings.
 RECOMPUTE_BWD_ATTRS = False
+
+# XLA:TPU scatter-add keeps its fast (~13-19 ns/row) strategy while the
+# accumulation target stays under roughly this size, then degrades ~5x
+# (measured cliff between 17.6 MB and 35 MB, tools/exp_scatter_scale.py).
+# Above it, the backward record reduce switches to the F-segment wide
+# layout (see _b_bwd).
+REDUCE_TARGET_BYTES_MAX = 24 * 2**20
 
 
 # =============================================================================
@@ -184,21 +196,24 @@ def _build_face_table(verts, faces, verts_color, faces_opacity,
         img, faces)
 
     fid = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None], (B, F))
-    edges = jnp.stack([A1, B1, C1, A2, B2, C2, A3, B3, C3], axis=-1)
-    # split-halves f32 encoding: A == (A >> 12) * 4096 + (A & 0xFFF) for any
-    # int32; both halves are f32-exact (|A >> 12| < 2^19, low in [0, 4096))
+    # A/B coefficients are f32-exact as-is (coordinate differences,
+    # |.| < 2^14); C uses the split-halves encoding: C == (C >> 12) * 4096
+    # + (C & 0xFFF) for any int32 (|C >> 12| < 2^19, low in [0, 4096))
+    ab = jnp.stack([A1, A2, A3, B1, B2, B3], axis=-1)
+    cc = jnp.stack([C1, C2, C3], axis=-1)
     icols = jnp.concatenate(
         [
-            (edges >> 12).astype(jnp.float32),
-            (edges & 0xFFF).astype(jnp.float32),
+            ab.astype(jnp.float32),
+            (cc >> 12).astype(jnp.float32),
+            (cc & 0xFFF).astype(jnp.float32),
             nondeg.astype(jnp.float32)[..., None],
             fid.astype(jnp.float32)[..., None],
         ],
         axis=-1,
-    )  # [B, F, 20] (_EH.._FID)
+    )  # [B, F, 14] (_EAB.._FID)
 
     nf = fcols.shape[-1]
-    fcols = jnp.pad(fcols, ((0, 0), (0, 0), (0, _EH - nf)))  # ints at _EH
+    fcols = jnp.pad(fcols, ((0, 0), (0, 0), (0, _EAB - nf)))  # ints at _EAB
     cols = jnp.concatenate([fcols, icols], axis=-1)
     nc = cols.shape[-1]
     return jnp.pad(cols.reshape(B * F, nc), ((0, 0), (0, NA - nc)))
@@ -269,10 +284,16 @@ def _face_scalars(fslab, j):
         "d": [fslab[j, _D0 + k] for k in range(3)],
         "alpha": fslab[j, _ALPHA],
         "inten": fslab[j, _INTEN],
+        # unpack order matches _coverage_and_uv: A1 B1 C1 A2 B2 C2 A3 B3 C3
         "edge": [
-            fslab[j, _EH + k].astype(jnp.int32) * 4096
-            + fslab[j, _EL + k].astype(jnp.int32)
-            for k in range(9)
+            v
+            for e in range(3)
+            for v in (
+                fslab[j, _EAB + e].astype(jnp.int32),
+                fslab[j, _EAB + 3 + e].astype(jnp.int32),
+                fslab[j, _ECH + e].astype(jnp.int32) * 4096
+                + fslab[j, _ECL + e].astype(jnp.int32),
+            )
         ],
         "nondeg": fslab[j, _NONDEG],
     }
@@ -912,56 +933,89 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
     rec = rec4.reshape(cap, REC_COLS)  # un-pack: 4 records per 128-lane row
 
     # Reduce per-slot records to per-(view, face) gradients with ONE
-    # deterministic segment scatter-add keyed by the slot's (view, face) id
-    # -- the structural analog of the reference's atomicAdd scatter
-    # (backward.cu:389-418), but with a fixed summation order. Collisions
-    # (a face touching many tiles) serialize inside XLA's scatter yet this
-    # is ~7x cheaper at 100k tris than routing records through per-emission
-    # slots (round 1): the [cap, 24] unique-index row SCATTER was the
-    # backward's wall, not the collisions. Round-3 note: a sort-based
-    # segment reduction (payload riding the sort + cumsum + searchsorted)
-    # was implemented and REVERTED -- honest measurements with every sort
-    # operand consumed (tools/exp_honest.py; an earlier harness let XLA
-    # DCE the payload) put a 25-operand sort + boundary extraction ABOVE
-    # the ~14.5 ns/row scatter at this capacity. No validity masking is
-    # needed: slabs the kernel never visits stay zero (zero-initialized
-    # donated output), in-slab tail rows are zeroed by the kernel, and
-    # padding slots carry flat=0, so they add exact zeros to the nearest
-    # face of view 0. ``keys.flat`` lives in depth-sorted face space; the
-    # summed rows are un-permuted back to original (view, face) order
-    # through sigma at face scale (the slot-scale arrays never leave
-    # sorted space).
-    face_g_sorted = (
-        jnp.zeros((B * F, NG_USED), jnp.float32)
-        .at[keys.flat].add(rec[:, :NG_USED])
-    )
-    face_g = (
-        jnp.zeros((B * F, NG_USED), jnp.float32)
-        .at[keys.sigma].set(face_g_sorted, unique_indices=True)
-        .reshape(B, F, NG_USED)
-    )
-
+    # deterministic segment scatter-add -- the structural analog of the
+    # reference's atomicAdd scatter (backward.cu:389-418), but with a
+    # fixed summation order. Round-3 finding (tools/exp_scatter_scale.py):
+    # XLA:TPU scatter-add unit cost is ~13-19 ns/row while the TARGET
+    # table is small, but falls off a cliff (~97 ns/row) once the target
+    # exceeds roughly 20-30 MB -- the root cause of the former
+    # super-linear B=4 backward (VERDICT r2 W2). Two paths:
+    #
+    # * small B*F target: scatter into [B*F, NG_USED] keyed by the slot's
+    #   depth-sorted (view, face) id, then un-permute through sigma.
+    # * large B*F (B >= ~3 at 100k faces): keep the target at F rows.
+    #   View-summed quantities (opacity, vertex-position moments, and
+    #   vcolor with the per-view intensity folded in at SLOT scale from
+    #   the attr table) merge across views by linearity; the per-view
+    #   quantities are narrow (intensity grad contracted at slot scale
+    #   from the VC records + 3 depth cols) and ride in a masked
+    #   per-view column block, so the table is [F, 19 + 4B] -- under the
+    #   cliff for any practical single-chip view count. Keys are
+    #   ORIGINAL face ids (sigma gathered per slot), so no un-permute.
+    #
+    # Round-2/3 negative results kept for the record: sort-based segment
+    # reduction (payload riding the sort) measured WORSE than the scatter
+    # at this capacity (tools/exp_honest.py), as did collision-spreading
+    # and chunked scatters (tools/exp_scatter_scale.py). No validity
+    # masking is needed: slabs the kernel never visits stay zero
+    # (zero-initialized donated output), in-slab tail rows are zeroed by
+    # the kernel, and padding slots carry flat=0 / zero records.
     inten_bf = faces_intense  # [B, F]
-
-    g_fopacity = jnp.sum(face_g[..., _G_ALPHA], axis=0)  # [F]
-    # dL/dinten = sum_p icol_raw . dL_dicolor, contracted at F-scale from
-    # the VC records (see the record-layout comment): vc_rec[k,c]
-    # = sum_p i_k dL_dicolor_c and icol_raw_c = sum_k i_k c_attr[k,c]
     c9 = verts_color[faces].reshape(F, 9)  # k-major, channel-minor
-    g_fintense = jnp.einsum(
-        "fj,bfj->bf", c9, face_g[..., _G_VC:_G_VC + 9])  # [B, F]
+
+    if B * F * NG_USED * 4 <= REDUCE_TARGET_BYTES_MAX:
+        face_g_sorted = (
+            jnp.zeros((B * F, NG_USED), jnp.float32)
+            .at[keys.flat].add(rec[:, :NG_USED])
+        )
+        face_g = (
+            jnp.zeros((B * F, NG_USED), jnp.float32)
+            .at[keys.sigma].set(face_g_sorted, unique_indices=True)
+            .reshape(B, F, NG_USED)
+        )
+        g_fopacity = jnp.sum(face_g[..., _G_ALPHA], axis=0)  # [F]
+        # dL/dinten = sum_p icol_raw . dL_dicolor, contracted at F-scale
+        # from the VC records: vc_rec[k,c] = sum_p i_k dL_dicolor_c and
+        # icol_raw_c = sum_k i_k c_attr[k,c]
+        g_fintense = jnp.einsum(
+            "fj,bfj->bf", c9, face_g[..., _G_VC:_G_VC + 9])  # [B, F]
+        gp = jnp.sum(face_g[..., _G_P:_G_P + 9], axis=0).reshape(F, 3, 3)
+        gvc = jnp.sum(
+            face_g[..., _G_VC:_G_VC + 9] * inten_bf[..., None], axis=0
+        ).reshape(F, 3, 3)
+        gvd = face_g[..., _G_VD:_G_VD + 3]  # [B, F, 3]
+    else:
+        vc_rec = rec[:, _G_VC:_G_VC + 9]  # [cap, 9]
+        inten_slot = attr_tab[:, _INTEN]  # [cap]
+        gin_slot = jnp.einsum(
+            "cj,cj->c", attr_tab[:, _C0:_C0 + 9], vc_rec)  # [cap]
+        common = jnp.concatenate(
+            [rec[:, _G_ALPHA:_G_ALPHA + 1],
+             rec[:, _G_P:_G_P + 9],
+             vc_rec * inten_slot[:, None]], axis=1)  # [cap, 19]
+        pv = jnp.concatenate(
+            [gin_slot[:, None], rec[:, _G_VD:_G_VD + 3]],
+            axis=1)  # [cap, 4]
+        vb = keys.flat // F
+        upd = jnp.concatenate(
+            [common]
+            + [jnp.where((vb == b)[:, None], pv, 0.0) for b in range(B)],
+            axis=1)  # [cap, 19 + 4B]
+        orig = keys.sigma[keys.flat] % F  # original face id per slot
+        wide = jnp.zeros((F, 19 + 4 * B), jnp.float32).at[orig].add(upd)
+        g_fopacity = wide[:, 0]
+        gp = wide[:, 1:10].reshape(F, 3, 3)
+        gvc = wide[:, 10:19].reshape(F, 3, 3)
+        pvw = wide[:, 19:].reshape(F, B, 4).transpose(1, 0, 2)
+        g_fintense = pvw[..., 0]  # [B, F]
+        gvd = pvw[..., 1:4]  # [B, F, 3]
 
     # verts + vcolor share the faces index: one fused scatter-add
-    gp = jnp.sum(face_g[..., _G_P:_G_P + 9], axis=0).reshape(F, 3, 3)
-    gvc = jnp.sum(
-        face_g[..., _G_VC:_G_VC + 9] * inten_bf[..., None], axis=0
-    ).reshape(F, 3, 3)
     acc = jnp.zeros((P, 6), jnp.float32).at[faces].add(
         jnp.concatenate([gp, gvc], axis=-1))
     g_verts = acc[:, :3]
     g_vcolor = acc[:, 3:]
 
-    gvd = face_g[..., _G_VD:_G_VD + 3]  # [B, F, 3]
     b_idx = jnp.arange(B, dtype=jnp.int32)
     g_vdepth = jnp.zeros((B, P), jnp.float32).at[
         b_idx[:, None, None], faces[None]

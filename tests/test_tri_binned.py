@@ -68,6 +68,41 @@ def test_backward_matches_oracle(args):
         assert err < 1e-4, f"{name}: rel Linf {err}"
 
 
+def test_wide_reduce_path_matches_oracle(args, monkeypatch):
+    """The large-B*F record-reduce layout ([F, 19+4B] original-face keyed
+    wide table, used above the scatter-target size cliff) must produce
+    the same five gradients as the sorted-space path: force it by zeroing
+    the size threshold."""
+    import dmesh_renderer_tpu.ops.tri_binned as tb
+
+    monkeypatch.setattr(tb, "REDUCE_TARGET_BYTES_MAX", 0)
+    rng = np.random.RandomState(7)
+    wc = jnp.asarray(rng.randn(B, 3, H, W).astype(np.float32))
+    wd = jnp.asarray(rng.randn(B, 1, H, W).astype(np.float32))
+
+    def loss(render):
+        def fn(verts, vcolor, fop, vdepth, fint):
+            c, d = render(
+                verts, args[1], vcolor, fop, args[4], args[5], args[6],
+                args[7], vdepth, fint, args[10], H, W,
+            )
+            return jnp.sum(c * wc) + jnp.sum(d * wd)
+        return fn
+
+    diff_args = (args[0], args[2], args[3], args[8], args[9])
+    g_o = jax.grad(loss(render_tri_oracle),
+                   argnums=tuple(range(5)))(*diff_args)
+    g_b = jax.grad(loss(render_tri_binned),
+                   argnums=tuple(range(5)))(*diff_args)
+    names = ["verts", "verts_color", "faces_opacity", "verts_depth",
+             "faces_intense"]
+    for a, b, name in zip(g_o, g_b, names):
+        a, b = np.array(a, np.float64), np.array(b, np.float64)
+        scale = max(1.0, np.abs(a).max())
+        err = np.abs(a - b).max() / scale
+        assert err < 1e-4, f"{name}: rel Linf {err}"
+
+
 def test_overflow_flag_surfaces(args):
     """with_aux must report overflow=True and the true emitted total when
     keys are dropped, and overflow=False at ample capacity."""

@@ -74,10 +74,11 @@ def main():
             print(f"B={B} {name:>24}: {ms:8.2f} ms total "
                   f"({ms/B:6.2f} /view)", flush=True)
 
-        def chain_kernel(gin_t):
+        def chain_kernel(gin_t, starts, ends, attr_tab, rayd_t, pix_t,
+                         fwd_t):
             def it(g, _):
                 rec4 = tb._run_bwd_kernel(
-                    keys.starts, keys.ends, attr_tab, rayd_t, pix_t,
+                    starts, ends, attr_tab, rayd_t, pix_t,
                     fwd_t, g, n_tiles, cap)
                 # feed a scalar back so steps can't be elided
                 g = g + rec4[0, 0] * 1e-30
@@ -85,30 +86,31 @@ def main():
             g, _ = lax.scan(it, gin_t, None, length=REPS)
             return g
 
-        timeit("bwd kernel", chain_kernel, gin_t)
+        timeit("bwd kernel", chain_kernel, gin_t, keys.starts, keys.ends,
+               attr_tab, rayd_t, pix_t, fwd_t)
 
-        rec4 = jax.jit(lambda g: tb._run_bwd_kernel(
-            keys.starts, keys.ends, attr_tab, rayd_t, pix_t, fwd_t, g,
-            n_tiles, cap))(gin_t)
+        rec4 = jax.jit(tb._run_bwd_kernel, static_argnums=(7, 8))(
+            keys.starts, keys.ends, attr_tab, rayd_t, pix_t, fwd_t,
+            gin_t, n_tiles, cap)
         jax.block_until_ready(rec4)
         F = n_tris
 
-        def chain_reduce(rec4):
+        def chain_reduce(rec4, flat, sigma):
             def it(r, _):
                 rec = r.reshape(cap, tb.REC_COLS)
                 face_g_sorted = (
                     jnp.zeros((B * F, tb.NG_USED), jnp.float32)
-                    .at[keys.flat].add(rec[:, :tb.NG_USED]))
+                    .at[flat].add(rec[:, :tb.NG_USED]))
                 face_g = (
                     jnp.zeros((B * F, tb.NG_USED), jnp.float32)
-                    .at[keys.sigma].set(face_g_sorted,
-                                        unique_indices=True))
+                    .at[sigma].set(face_g_sorted,
+                                   unique_indices=True))
                 r = r + jnp.sum(face_g) * 1e-30
                 return r, 0.0
             r, _ = lax.scan(it, rec4, None, length=REPS)
             return r
 
-        timeit("record reduce", chain_reduce, rec4)
+        timeit("record reduce", chain_reduce, rec4, keys.flat, keys.sigma)
 
 
 if __name__ == "__main__":
