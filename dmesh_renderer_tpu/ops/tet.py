@@ -671,6 +671,95 @@ def _run_fwd_march(mega_t, consts_t, state_t):
     )(mega_t, consts_t, state_t)
 
 
+def _to_rows(t):
+    """Inverse of binning._relayout: packed [G, K, 128] -> row-major
+    [G*128, K] (one physical relayout pass), so a ray subset moves through
+    ONE row-gather/scatter instead of K 1-D ones (row ops are counted per
+    row regardless of width, tools/exp_honest.py)."""
+    g, k, _ = t.shape
+    return t.swapaxes(1, 2).reshape(g * 128, k)
+
+
+def _phased_fwd_march(state_t, consts_t, tbase, mega, log_depth, max_steps):
+    """Lockstep forward march with compacted tail phases.
+
+    The full-width phase pays every step over all rays, but transmittance
+    kills most rays within a few face crossings (bench scene: >79% alive
+    through step 8, ~10% past step 11, five rays at step 16 --
+    tools/exp_alive_curve.py), so once the alive count fits an 8x smaller
+    buffer the survivors are compacted (ordered by current tet, like
+    _compacted_while does for the marching backward) and the march
+    continues at tail width. The CUDA analog is free -- hardware retires
+    finished threads (forward.cu:595) -- here the compaction gather buys
+    the same pay-for-live-rays-only property. Each phase appends its own
+    march-log segment; the replay backward walks the segments
+    deepest-first (_render_tet_backward_replay).
+
+    Returns ``(final full-width state, segs)``. ``segs[k]`` is a dict:
+    ``log`` [log_depth, G_k, _NLOG, 128] (dead slabs carry face -1: the
+    replay's s < n_contrib guard already excludes them per ray, but -1
+    keeps every log consumer honest), ``start``/``end`` global-step
+    scalars bounding the phase, and ``idx`` -- the row map into the
+    PARENT segment's rows ([M_k] int32; None for the root segment).
+    Because ``done`` is monotone and every phase boundary keeps all alive
+    rays, the global step index is still each ray's blend index.
+    """
+    sizes = _march_phase_sizes(state_t.shape[0] * 128)
+
+    def run(st, cst, tb, step0, level):
+        g = st.shape[0]
+        log0 = jnp.zeros((log_depth, g, _NLOG, 128), jnp.float32).at[
+            :, :, _L_CF, :].set(-1.0)
+        is_last = level == len(sizes) - 1
+
+        def cond(c):
+            s, _log, step = c
+            alive = s[:, _K_DONE, :] == 0.0
+            base = (step < max_steps) & jnp.any(alive)
+            if is_last:
+                return base
+            return base & (jnp.sum(alive.astype(jnp.int32))
+                           > jnp.int32(sizes[level + 1]))
+
+        def body(c):
+            s, log, step = c
+            gt = s[:, _K_GT, :].reshape(-1).astype(jnp.int32)
+            mega_t = _relayout(mega[tb + gt], 96)
+            out = _run_fwd_march(mega_t, cst, s)
+            log = lax.dynamic_update_slice(
+                log, out[None, :, _NSF2:, :],
+                ((step - step0) % log_depth, 0, 0, 0))
+            return out[:, :_NSF2, :], log, step + 1
+
+        st, log_l, step = lax.while_loop(cond, body, (st, log0, step0))
+        segs = [dict(log=log_l, start=step0, end=step, idx=None)]
+        if is_last:
+            return st, step, segs
+
+        # compact to the next size: alive rays first (stable; they all fit
+        # by the cond), grouped by current tet so the per-step mega-row
+        # gathers stay near-sequential in HBM. Row ops cost ~10 ns/ROW
+        # regardless of width (tools/exp_honest.py), so the state/const
+        # tables move through ONE packed row-gather each ([M2, K] rows),
+        # never per-row-of-the-packed-layout 1-D gathers.
+        done = st[:, _K_DONE, :].reshape(-1) != 0.0
+        ct = st[:, _K_CT, :].reshape(-1).astype(jnp.int32)
+        key = jnp.where(done, jnp.int32(2 ** 30), jnp.maximum(ct, 0))
+        idx = jnp.argsort(key, stable=True)[:sizes[level + 1]]
+        st_rows = _to_rows(st)      # [M, _NSF2]
+        cst_rows = _to_rows(cst)    # [M, 10]
+        sub_st = _relayout(st_rows[idx], _NSF2)
+        sub_cst = _relayout(cst_rows[idx], 10)
+        sub_st, step, sub_segs = run(sub_st, sub_cst, tb[idx], step,
+                                     level + 1)
+        sub_segs[0]["idx"] = idx
+        res_rows = st_rows.at[idx].set(_to_rows(sub_st))
+        return _relayout(res_rows, _NSF2), step, segs + sub_segs
+
+    st, _step, segs = run(state_t, consts_t, tbase, jnp.int32(0), 0)
+    return st, tuple(segs)
+
+
 def _run_march_kernel(kernel, pack_t, shade_t, consts_t, state_t, n_out):
     """Launch one march-step kernel over the ray row-groups."""
     from .tri_binned import _interpret
@@ -702,13 +791,16 @@ def _run_march_kernel(kernel, pack_t, shade_t, consts_t, state_t, n_out):
 # The lockstep march pays every surviving iteration over the full pixel
 # buffer, but transmittance kills most rays within a few face crossings --
 # only silhouette-grazing rays walk far. Phase sizes shrink by this factor.
-# Measured at 98k faces / 800px: 8 beats 2 (1155 vs 1239 ms fwd+bwd) -- the
-# per-iteration alive-count check and extra compaction rounds of finer
-# phases cost more than the width they save, because done lanes re-gather
-# clamped (cached) rows and are cheap.
+# Measured at 98k faces / 800px (phased FORWARD march + segmented replay,
+# round 3): 8 -> 149 ms fwd+bwd vs 157 single-phase; 4 exits the full-width
+# phase earlier but pays a wider tail in both the march and the replay
+# (161 ms). The legacy marching backward's _compacted_while measured the
+# same ranking (8 beats 2: 1155 vs 1239 ms, round 2).
 COMPACT_SHRINK = 8
 # Below this buffer size compaction is pure overhead (also keeps the tiny
-# CPU test scenes on the single-phase path).
+# CPU test scenes on the single-phase path). A third ladder level (min
+# 8192) ballooned compile time past 10 min at the bench scene -- two
+# phases is the sweet spot.
 COMPACT_MIN_SIZE = 65_536
 
 
@@ -924,37 +1016,12 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         f32(jnp.maximum(first_tet, 0)),  # gather tet (_K_GT)
     ])
 
-    # Full-width lockstep march (wall-clock follows the longest walk, like
-    # a CUDA warp's divergence cost). Rays die consecutively from step 0
-    # (done is monotone), so the global step index IS each ray's blend
-    # index, and each step's blend quantities append one log slab for the
-    # replay backward. No compaction: with the merged mega gather the step
-    # glue is ~2 ms at full width, and the alive curve at the bench scene
-    # stays >80% until nearly the end (tools/exp_alive_curve.py) --
-    # compaction gathers cost more than the width they save, and they
-    # would force log writes through pathological row scatters.
+    # Phased lockstep march: full width while most rays live, compacted
+    # tail once the survivors fit an 8x smaller buffer (see
+    # _phased_fwd_march). Each phase appends its own march-log segment.
     log_depth = max(1, min(LOG_CAP, int(max_steps)))
-    G = M // 128
-    # dead slabs (beyond the walk) carry face -1: the replay's s < nc guard
-    # already excludes them per ray, but -1 keeps every log consumer honest
-    log0 = jnp.zeros((log_depth, G, _NLOG, 128), jnp.float32).at[
-        :, :, _L_CF, :].set(-1.0)
-
-    def cond(carry):
-        st, _log, step = carry
-        return (step < max_steps) & jnp.any(st[:, _K_DONE, :] == 0.0)
-
-    def body(carry):
-        st, log, step = carry
-        gt = st[:, _K_GT, :].reshape(-1).astype(jnp.int32)
-        mega_t = _relayout(march["mega"][tbase + gt], 96)
-        out = _run_fwd_march(mega_t, consts_t, st)
-        log = lax.dynamic_update_slice(
-            log, out[None, :, _NSF2:, :], (step % log_depth, 0, 0, 0))
-        return out[:, :_NSF2, :], log, step + 1
-
-    st, march_log, _n = lax.while_loop(cond, body,
-                                       (state_t, log0, jnp.int32(0)))
+    st, march_segs = _phased_fwd_march(state_t, consts_t, tbase,
+                                       march["mega"], log_depth, max_steps)
     rows = _unpack_rows(st, _NSF2)
     i32 = lambda x: x.astype(jnp.int32)
     shape2 = lambda x: x[:M0].reshape(B, N)
@@ -982,7 +1049,7 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         is_active=shape2(rows[_K_ACT]) != 0.0,
         fh_overflow=fh_aux[0],
         fh_num_rendered=fh_aux[1],
-        march_log=march_log,
+        march_segs=march_segs,
     )
     return color, depth, active_img, saved
 
@@ -1039,76 +1106,92 @@ def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
     F = faces.shape[0]
     N = height * width
     M0 = B * N
-    log = saved["march_log"]  # [D, G, _NLOG, 128]
-    D, G = log.shape[0], log.shape[1]
-    M = G * 128
+    segs = saved["march_segs"]
+    G0 = segs[0]["log"].shape[1]
+    M = G0 * 128
 
     def flat(x, fill=0):
         x = x.reshape(M0)
         if M > M0:
             x = jnp.concatenate(
                 [x, jnp.full((M - M0,), fill, x.dtype)])
-        return x.reshape(G, 128)
+        return x
 
-    gc = [flat(dL_dcolor[:, ch].reshape(B, N)) for ch in range(3)]
-    gdep = flat(dL_ddepth.reshape(B, N))
-    bg_dot = bg[0] * gc[0] + bg[1] * gc[1] + bg[2] * gc[2] + gdep
-    fT = jnp.exp(flat(saved["final_log_T"]))
-    fpT = jnp.exp(flat(saved["final_prev_log_T"]))
-    nc = flat(saved["n_contrib"]).astype(jnp.float32)
-    valid_ray = flat(saved["is_active"].astype(jnp.float32)) != 0.0
+    gc_f = [flat(dL_dcolor[:, ch].reshape(B, N)) for ch in range(3)]
+    gdep_f = flat(dL_ddepth.reshape(B, N))
+    bg_dot_f = (bg[0] * gc_f[0] + bg[1] * gc_f[1] + bg[2] * gc_f[2]
+                + gdep_f)
+    fT_f = jnp.exp(flat(saved["final_log_T"]))
+    fpT_f = jnp.exp(flat(saved["final_prev_log_T"]))
+    nc_f = flat(saved["n_contrib"]).astype(jnp.float32)
+    valid_f = flat(saved["is_active"].astype(jnp.float32)) != 0.0
+    per_ray_f = gc_f + [gdep_f, bg_dot_f, fT_f, fpT_f, nc_f,
+                        valid_f.astype(jnp.float32)]
+    # packed [M, 9] row table: compacted segments pull their rays through
+    # ONE row-gather (row ops are per-ROW-priced; 9 separate 1-D gathers
+    # would cost 9x -- tools/exp_honest.py)
+    per_tab_f = jnp.stack(per_ray_f, axis=1)
 
-    def step(carry, s):
-        la, lcr, lcg, lcb, ld, ar, ag, ab, ad = carry
-        slab = log[s]  # [G, _NLOG, 128]
-        L = lambda r: slab[:, r, :]
-        cf = L(_L_CF)
-        alpha = L(_L_ALPHA)
-        prev_T = L(_L_TBEF)
-        u, v = L(_L_U), L(_L_V)
-        cr, cg_, cb = L(_L_CR), L(_L_CG), L(_L_CB)
-        dep = L(_L_DEP)
-        inten = L(_L_INTEN)
-        m = valid_ray & (s.astype(jnp.float32) < nc) & (cf >= 0.0)
-        mf = m.astype(jnp.float32)
+    def seg_step(log, per_ray):
+        gc = per_ray[0:3]
+        gdep, bg_dot, fT, fpT, nc = per_ray[3:8]
+        valid_ray = per_ray[8] != 0.0
 
-        # suffix accumulators (backward.cu:262-284): acc_new folds in the
-        # LAST-processed (one-closer-to-the-end) face's alpha/color
-        ar_n = la * lcr + (1.0 - la) * ar
-        ag_n = la * lcg + (1.0 - la) * ag
-        ab_n = la * lcb + (1.0 - la) * ab
-        ad_n = la * ld + (1.0 - la) * ad
+        def step(carry, s):
+            la, lcr, lcg, lcb, ld, ar, ag, ab, ad = carry
+            slab = log[s[0]]  # [G, _NLOG, 128]; s = (local, global) step
+            L = lambda r: slab[:, r, :]
+            cf = L(_L_CF)
+            alpha = L(_L_ALPHA)
+            prev_T = L(_L_TBEF)
+            u, v = L(_L_U), L(_L_V)
+            cr, cg_, cb = L(_L_CR), L(_L_CG), L(_L_CB)
+            dep = L(_L_DEP)
+            inten = L(_L_INTEN)
+            m = valid_ray & (s[1].astype(jnp.float32) < nc) & (cf >= 0.0)
+            mf = m.astype(jnp.float32)
 
-        dL_dop = ((cr - ar_n) * gc[0] + (cg_ - ag_n) * gc[1]
-                  + (cb - ab_n) * gc[2] + (dep - ad_n) * gdep) * prev_T
-        # background term (backward.cu:317-339)
-        bg_coef = jnp.where(alpha == 1.0, -fpT,
-                            -fT / jnp.maximum(1.0 - alpha, 1e-37))
-        dL_dop = (dL_dop + bg_coef * bg_dot) * mf
+            # suffix accumulators (backward.cu:262-284): acc_new folds in
+            # the LAST-processed (one-closer-to-the-end) face's alpha/color
+            ar_n = la * lcr + (1.0 - la) * ar
+            ag_n = la * lcg + (1.0 - la) * ag
+            ab_n = la * lcb + (1.0 - la) * ab
+            ad_n = la * ld + (1.0 - la) * ad
 
-        wm = inten * prev_T * alpha * mf
-        i1, i2 = u, v
-        i0 = 1.0 - u - v
-        recs = (wm * i0 * gc[0], wm * i0 * gc[1], wm * i0 * gc[2],
-                wm * i1 * gc[0], wm * i1 * gc[1], wm * i1 * gc[2],
-                wm * i2 * gc[0], wm * i2 * gc[1], wm * i2 * gc[2],
-                dL_dop)
-        key = jnp.where(m, cf, jnp.float32(F)).astype(jnp.int32)
+            dL_dop = ((cr - ar_n) * gc[0] + (cg_ - ag_n) * gc[1]
+                      + (cb - ab_n) * gc[2]
+                      + (dep - ad_n) * gdep) * prev_T
+            # background term (backward.cu:317-339)
+            bg_coef = jnp.where(alpha == 1.0, -fpT,
+                                -fT / jnp.maximum(1.0 - alpha, 1e-37))
+            dL_dop = (dL_dop + bg_coef * bg_dot) * mf
 
-        la = jnp.where(m, alpha, la)
-        lcr = jnp.where(m, cr, lcr)
-        lcg = jnp.where(m, cg_, lcg)
-        lcb = jnp.where(m, cb, lcb)
-        ld = jnp.where(m, dep, ld)
-        ar = jnp.where(m, ar_n, ar)
-        ag = jnp.where(m, ag_n, ag)
-        ab = jnp.where(m, ab_n, ab)
-        ad = jnp.where(m, ad_n, ad)
-        return (la, lcr, lcg, lcb, ld, ar, ag, ab, ad), (key,) + recs
+            wm = inten * prev_T * alpha * mf
+            i1, i2 = u, v
+            i0 = 1.0 - u - v
+            recs = (wm * i0 * gc[0], wm * i0 * gc[1], wm * i0 * gc[2],
+                    wm * i1 * gc[0], wm * i1 * gc[1], wm * i1 * gc[2],
+                    wm * i2 * gc[0], wm * i2 * gc[1], wm * i2 * gc[2],
+                    dL_dop)
+            key = jnp.where(m, cf, jnp.float32(F)).astype(jnp.int32)
 
-    # Replay in descending-step batches. Each batch runs its slice of the
-    # suffix-accumulator scan AND its record reduction under one
-    # lax.cond, so steps beyond the longest walk compute nothing at all
+            la = jnp.where(m, alpha, la)
+            lcr = jnp.where(m, cr, lcr)
+            lcg = jnp.where(m, cg_, lcg)
+            lcb = jnp.where(m, cb, lcb)
+            ld = jnp.where(m, dep, ld)
+            ar = jnp.where(m, ar_n, ar)
+            ag = jnp.where(m, ag_n, ag)
+            ab = jnp.where(m, ab_n, ab)
+            ad = jnp.where(m, ad_n, ad)
+            return (la, lcr, lcg, lcb, ld, ar, ag, ab, ad), (key,) + recs
+
+        return step, nc
+
+    # Replay each segment in descending-step batches. Each batch runs its
+    # slice of the suffix-accumulator scan AND its record reduction under
+    # one lax.cond, so steps beyond the longest walk -- or beyond the
+    # steps the segment's phase actually took -- compute nothing at all
     # (the skipped steps cannot touch the carried accumulators: their
     # masks are false for every ray by definition of n_contrib).
     #
@@ -1126,101 +1209,145 @@ def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
     # merge + rank-compaction (tools/exp_onehot_extract.py). HIGHEST
     # precision keeps the one-hot contraction f32-exact (the default
     # 3-pass bf16 decomposition loses mantissa bits).
-    nc_max = jnp.max(saved["n_contrib"])
-    zero = jnp.zeros((G, 128), jnp.float32)
-    acc = jnp.zeros((F + 1, 10), jnp.float32)  # row F absorbs pad/invalid
-    carry = (zero,) * 9  # suffix accumulators, chained across batches
-    K = REPLAY_REDUCE_BATCH
-    BK = REPLAY_BLOCK_K
-    for b in range((D + K - 1) // K):
-        kb = min(K, D - b * K)
-        s_lo = D - (b * K + kb)  # smallest global step in this batch
-        R = kb * G  # 128-lane blocks in this batch
+    def replay_segment(log, start, end, per_ray, carry, acc):
+        D, G = log.shape[0], log.shape[1]
+        step, nc = seg_step(log, per_ray)
+        nc_max_seg = jnp.max(nc).astype(jnp.int32)
+        taken = end - start  # steps this segment's phase actually ran
+        K = REPLAY_REDUCE_BATCH
+        BK = REPLAY_BLOCK_K
+        for b in range((D + K - 1) // K):
+            kb = min(K, D - b * K)
+            s_lo = D - (b * K + kb)  # smallest LOCAL step in this batch
+            R = kb * G  # 128-lane blocks in this batch
 
-        def run_batch(carry_acc, _b=b, _kb=kb, _R=R):
-            carry, acc = carry_acc
-            ss = jnp.arange(D - 1 - _b * K, D - 1 - _b * K - _kb, -1,
-                            dtype=jnp.int32)
-            carry, outs = lax.scan(step, carry, ss)
-            keys = outs[0].reshape(_R, 128)
-            cols = [r.reshape(_R, 128) for r in outs[1:]]
-            valid = keys < F
-            chg = jnp.concatenate(
-                [jnp.ones((_R, 1), bool), keys[:, 1:] != keys[:, :-1]],
-                axis=1)
-            # 1-based id of each valid lane's run within its block (an
-            # invalid gap forces chg at the next valid lane, so a valid
-            # lane's id is always its own run's)
-            n_runs = jnp.max(
-                jnp.cumsum((chg & valid).astype(jnp.int32), axis=1)
-                [:, -1])
-            blockmask = jnp.any(valid, axis=1)  # [R] any-live per block
-            nblocks = jnp.sum(blockmask.astype(jnp.int32))
-            R2 = max(128, _R // REPLAY_BLOCK_COMPACT_FRAC)
-
-            def extract_scatter(acc, ks, cs, r):
-                vld = ks < F
-                ch = jnp.concatenate(
-                    [jnp.ones((r, 1), bool), ks[:, 1:] != ks[:, :-1]],
+            def run_batch(carry_acc, _b=b, _kb=kb, _R=R):
+                carry, acc = carry_acc
+                ss_local = jnp.arange(D - 1 - _b * K,
+                                      D - 1 - _b * K - _kb, -1,
+                                      dtype=jnp.int32)
+                carry, outs = lax.scan(step, carry,
+                                       (ss_local, start + ss_local))
+                keys = outs[0].reshape(_R, 128)
+                cols = [r.reshape(_R, 128) for r in outs[1:]]
+                valid = keys < F
+                chg = jnp.concatenate(
+                    [jnp.ones((_R, 1), bool), keys[:, 1:] != keys[:, :-1]],
                     axis=1)
-                vst = ch & vld
-                rix = jnp.cumsum(vst.astype(jnp.int32), axis=1)
-                jj = jnp.arange(1, BK + 1, dtype=jnp.int32)
-                oh = vld[:, None, :] & (rix[:, None, :]
-                                        == jj[None, :, None])
-                # ride the key and a start-count along as value columns:
-                # only the start lane contributes the key (exact in f32:
-                # ids < 2^24, summed once), the count marks empty slots
-                kcol = jnp.where(vst, ks, 0).astype(jnp.float32)
-                ccol = vst.astype(jnp.float32)
-                cstack = jnp.stack(cs + [kcol, ccol], axis=1)
-                ext = lax.dot_general(
-                    oh.astype(jnp.float32), cstack,
-                    (((2,), (2,)), ((0,), (0,))),
-                    precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)  # [r, BK, 12]
-                k_flat = jnp.where(
-                    ext[:, :, 11] > 0.0,
-                    ext[:, :, 10].astype(jnp.int32), F).reshape(r * BK)
-                return acc.at[k_flat].add(
-                    ext[:, :, :10].reshape(r * BK, 10))
+                # 1-based id of each valid lane's run within its block (an
+                # invalid gap forces chg at the next valid lane, so a valid
+                # lane's id is always its own run's)
+                n_runs = jnp.max(
+                    jnp.cumsum((chg & valid).astype(jnp.int32), axis=1)
+                    [:, -1])
+                blockmask = jnp.any(valid, axis=1)  # [R] any-live per block
+                nblocks = jnp.sum(blockmask.astype(jnp.int32))
+                R2 = max(128, _R // REPLAY_BLOCK_COMPACT_FRAC)
 
-            def blocks_path(acc):
-                # tail batches are mostly dead at block granularity:
-                # compact the live blocks (1-D ops at R scale, near free)
-                # so extraction + scatter run at R2 blocks
-                rank = jnp.cumsum(blockmask.astype(jnp.int32))
-                surv = jnp.zeros((R2,), jnp.int32).at[
-                    jnp.where(blockmask, rank - 1, R2)
-                ].set(jnp.arange(_R, dtype=jnp.int32), mode="drop")
-                live = (jnp.arange(R2, dtype=jnp.int32)
-                        < nblocks)[:, None]
-                k2 = jnp.where(live, keys[surv], F)
-                c2 = [c[surv] for c in cols]
-                return extract_scatter(acc, k2, c2, R2)
+                def extract_scatter(acc, ks, cs, r):
+                    vld = ks < F
+                    ch = jnp.concatenate(
+                        [jnp.ones((r, 1), bool), ks[:, 1:] != ks[:, :-1]],
+                        axis=1)
+                    vst = ch & vld
+                    rix = jnp.cumsum(vst.astype(jnp.int32), axis=1)
+                    jj = jnp.arange(1, BK + 1, dtype=jnp.int32)
+                    oh = vld[:, None, :] & (rix[:, None, :]
+                                            == jj[None, :, None])
+                    # ride the key and a start-count along as value columns:
+                    # only the start lane contributes the key (exact in f32:
+                    # ids < 2^24, summed once), the count marks empty slots
+                    kcol = jnp.where(vst, ks, 0).astype(jnp.float32)
+                    ccol = vst.astype(jnp.float32)
+                    cstack = jnp.stack(cs + [kcol, ccol], axis=1)
+                    ext = lax.dot_general(
+                        oh.astype(jnp.float32), cstack,
+                        (((2,), (2,)), ((0,), (0,))),
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)  # [r, BK, 12]
+                    k_flat = jnp.where(
+                        ext[:, :, 11] > 0.0,
+                        ext[:, :, 10].astype(jnp.int32), F).reshape(r * BK)
+                    return acc.at[k_flat].add(
+                        ext[:, :, :10].reshape(r * BK, 10))
 
-            def wide(acc):
-                def full(acc):
-                    # a block exceeded the run budget: plain full-width
-                    # scatter of the raw records (already masked to zero
-                    # on invalid slots); invalid keys hit the absorber
-                    k_all = jnp.where(valid, keys, F).reshape(-1)
-                    vals = jnp.stack(
-                        [c.reshape(-1) for c in cols], axis=1)
-                    return acc.at[k_all].add(vals)
+                def blocks_path(acc):
+                    # tail batches are mostly dead at block granularity:
+                    # compact the live blocks (1-D ops at R scale, near free)
+                    # so extraction + scatter run at R2 blocks
+                    rank = jnp.cumsum(blockmask.astype(jnp.int32))
+                    surv = jnp.zeros((R2,), jnp.int32).at[
+                        jnp.where(blockmask, rank - 1, R2)
+                    ].set(jnp.arange(_R, dtype=jnp.int32), mode="drop")
+                    live = (jnp.arange(R2, dtype=jnp.int32)
+                            < nblocks)[:, None]
+                    k2 = jnp.where(live, keys[surv], F)
+                    c2 = [c[surv] for c in cols]
+                    return extract_scatter(acc, k2, c2, R2)
 
-                return lax.cond(
-                    n_runs <= jnp.int32(BK),
-                    lambda a: extract_scatter(a, keys, cols, _R),
-                    full, acc)
+                def wide(acc):
+                    def full(acc):
+                        # a block exceeded the run budget: plain full-width
+                        # scatter of the raw records (already masked to zero
+                        # on invalid slots); invalid keys hit the absorber
+                        k_all = jnp.where(valid, keys, F).reshape(-1)
+                        vals = jnp.stack(
+                            [c.reshape(-1) for c in cols], axis=1)
+                        return acc.at[k_all].add(vals)
 
-            acc = lax.cond(
-                (nblocks <= jnp.int32(R2)) & (n_runs <= jnp.int32(BK)),
-                blocks_path, wide, acc)
-            return carry, acc
+                    return lax.cond(
+                        n_runs <= jnp.int32(BK),
+                        lambda a: extract_scatter(a, keys, cols, _R),
+                        full, acc)
 
-        carry, acc = lax.cond(jnp.int32(s_lo) < nc_max, run_batch,
-                              lambda ca: ca, (carry, acc))
+                acc = lax.cond(
+                    (nblocks <= jnp.int32(R2)) & (n_runs <= jnp.int32(BK)),
+                    blocks_path, wide, acc)
+                return carry, acc
+
+            run = ((start + jnp.int32(s_lo) < nc_max_seg)
+                   & (jnp.int32(s_lo) < taken))
+            carry, acc = lax.cond(run, run_batch, lambda ca: ca,
+                                  (carry, acc))
+        return carry, acc
+
+    acc = jnp.zeros((F + 1, 10), jnp.float32)  # row F absorbs pad/invalid
+
+    # parent-local -> global row maps per segment (composed left to right)
+    gmaps = [None]
+    for sg in segs[1:]:
+        prev = gmaps[-1]
+        gmaps.append(sg["idx"] if prev is None else prev[sg["idx"]])
+
+    # Deepest segment first = descending global step order overall. The
+    # suffix accumulators start at zero at the deepest width (rays absent
+    # from deeper segments have all their blends in shallower ones, so
+    # their accumulators are untouched there) and expand to the parent
+    # width at each boundary through the parent-local row map.
+    carry = None
+    for k in range(len(segs) - 1, -1, -1):
+        sg = segs[k]
+        gm = gmaps[k]
+        if gm is None:
+            per_ray = [r.reshape(-1, 128) for r in per_ray_f]
+        else:
+            pt = _relayout(per_tab_f[gm], 9)  # one packed row-gather
+            per_ray = [pt[:, c, :] for c in range(9)]
+        if carry is None:
+            Gk = sg["log"].shape[1]
+            carry = (jnp.zeros((Gk, 128), jnp.float32),) * 9
+        carry, acc = replay_segment(sg["log"], sg["start"], sg["end"],
+                                    per_ray, carry, acc)
+        if k > 0:
+            # expand the suffix accumulators to the parent width through
+            # one packed row-scatter (rays absent from this segment keep
+            # zeros: all their blends live in shallower segments)
+            pidx = sg["idx"]
+            mp = segs[k - 1]["log"].shape[1] * 128
+            car_rows = _to_rows(jnp.stack(carry, axis=1))  # [Mk, 9]
+            full = jnp.zeros((mp, 9), jnp.float32).at[pidx].set(car_rows)
+            fullp = _relayout(full, 9)
+            carry = tuple(fullp[:, c, :] for c in range(9))
 
     face_acc = acc[:F]  # [F, 10]
     g_vcolor = jnp.zeros((P, 3), jnp.float32).at[faces].add(
@@ -1439,7 +1566,7 @@ def _tet_bwd(height, width, seed, max_steps, kcap, with_aux, res, cots):
         return _render_tet_backward_replay(
             verts, faces, bg, saved, dL_dcolor, dL_ddepth, B, height, width)
 
-    log_depth = saved["march_log"].shape[0]
+    log_depth = saved["march_segs"][0]["log"].shape[0]
     if int(max_steps) <= log_depth:
         # the log always covers the whole walk: no fallback compiled
         g_vcolor, g_fopacity = replay(0)

@@ -323,3 +323,56 @@ def test_replay_survivor_overflow_fallback_identical():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.array(a), np.array(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_phased_march_matches_single_phase():
+    """Forcing the compacted tail phases on a small scene must reproduce
+    the single-phase march: images/active bit-identical (the per-ray blend
+    math is unchanged by compaction), gradients equal up to reduction
+    order. Exercises the segmented march log + deepest-first replay."""
+    import dmesh_renderer_tpu.ops.tet as tet_mod
+    from dmesh_renderer_tpu.utils.connectivity import freudenthal_grid
+
+    verts, tets = freudenthal_grid(2, jitter=0.05, seed=3)
+    faces, face_tets, tet_faces = build_tet_connectivity(tets)
+    rng = np.random.RandomState(1)
+    vcolor = rng.rand(verts.shape[0], 3).astype(np.float32)
+    fopacity = rng.uniform(0.2, 0.6, faces.shape[0]).astype(np.float32)
+    fintense = np.ones((1, faces.shape[0]), np.float32)
+    mv, proj = scenes.ring_cameras(1, radius=3.0)
+    mv_t = np.swapaxes(mv, 1, 2).copy()
+    proj_t = np.swapaxes(proj, 1, 2).copy()
+    h = w = 32
+    bg = jnp.asarray(np.array([0.1, 0.2, 0.3], np.float32))
+    args = tuple(map(jnp.asarray, (
+        verts, faces, vcolor, fopacity, mv_t, proj_t,
+        np.linalg.inv(mv_t), np.linalg.inv(proj_t), fintense,
+        tets, face_tets, tet_faces,
+    )))
+
+    def run():
+        def loss(vc, fo):
+            c, d, act = render_tet_core(
+                args[0], args[1], vc, fo, args[4], args[5], args[6],
+                args[7], args[8], args[9], args[10], args[11], bg, h, w, 0)
+            return jnp.sum(c * c) + jnp.sum(d), (c, d, act)
+
+        (_, out), grads = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(args[2], args[3])
+        return jax.tree.map(np.array, (out, grads))
+
+    assert tet_mod._march_phase_sizes(1024) == [1024]
+    out1, g1 = run()
+
+    old_min = tet_mod.COMPACT_MIN_SIZE
+    try:
+        tet_mod.COMPACT_MIN_SIZE = 128  # [1024, 128]: two phases
+        assert tet_mod._march_phase_sizes(1024) == [1024, 128]
+        out2, g2 = run()
+    finally:
+        tet_mod.COMPACT_MIN_SIZE = old_min
+
+    for a, b in zip(out1, out2):  # color, depth, active: bit-identical
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)

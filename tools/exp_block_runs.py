@@ -50,7 +50,7 @@ def main():
             args[0], args[1], args[2], fo, args[4], args[5], args[6],
             args[7], args[8], args[9], args[10], args[11], bg, H, W, 0,
             tet_mod.LOG_CAP)
-        return saved["march_log"], saved["n_contrib"], saved["is_active"]
+        return saved["march_segs"][0]["log"], saved["n_contrib"], saved["is_active"]
 
     log, nc, act = jax.device_get(fwd(args[3]))
     D, G = log.shape[0], log.shape[1]

@@ -60,7 +60,7 @@ def main():
     saved = jax.tree.map(jnp.asarray, saved)
     gcol = jnp.ones_like(c)
     gdep = jnp.ones_like(d)
-    log = saved["march_log"]
+    log = saved["march_segs"][0]["log"]
     D, G = log.shape[0], log.shape[1]
 
     def timed(name, fn, reps=4, iters=3):

@@ -93,7 +93,7 @@ def main():
     # sum-reduce variant: set batch so large that one cond covers all, and
     # replace sort by nothing -- emulate by timing the scan part manually
     F = faces.shape[0]
-    log = saved["march_log"]
+    log = saved["march_segs"][0]["log"]
     D, G = log.shape[0], log.shape[1]
 
     def scan_only(fo):
@@ -125,7 +125,7 @@ def _replay_scan_sum(tet_mod, verts, faces, bg, saved, dL_dcolor, dL_ddepth,
     F = faces.shape[0]
     N = height * width
     M0 = B * N
-    log = saved["march_log"]
+    log = saved["march_segs"][0]["log"]
     D, G = log.shape[0], log.shape[1]
     M = G * 128
 
