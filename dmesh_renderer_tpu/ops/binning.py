@@ -346,23 +346,34 @@ def _emit_exact(pre: dict, grid_x: int, grid_y: int, kcap: int,
     sigma = (sigma_v
              + jnp.arange(B, dtype=jnp.int32)[:, None] * F).reshape(-1)
 
-    ta = lambda x: jnp.take_along_axis(x, sigma_v, axis=1).reshape(-1)
-    cnt_s = ta(cnt_face)
+    # pack the 14 per-face columns BEFORE permuting (stacking is
+    # elementwise; row ops are per-ROW-priced regardless of width, so 14
+    # separate F-scale take_along_axis gathers would cost 14x this ONE
+    # row-gather -- the round-3 fused-gather lesson, ~12 ms at the bench
+    # scene)
     f32 = lambda x: x.astype(jnp.float32)
-    ftab = jnp.stack(
-        [f32(ta(a)) for a in pre["edge_a"]]
-        + [f32(ta(b)) for b in pre["edge_b"]]
-        + [f32(ta(c)) for c in pre["edge_c"]]
-        + [f32(ta(pre["rect_min"][..., 0])),
-           f32(ta(pre["rect_max"][..., 0] - pre["rect_min"][..., 0])),
-           f32(ta(pre["rect_min"][..., 1])),
-           f32(ta(pre["rect_max"][..., 1] - pre["rect_min"][..., 1]))],
+    base = jnp.stack(
+        [f32(a) for a in pre["edge_a"]]
+        + [f32(b) for b in pre["edge_b"]]
+        + [f32(c) for c in pre["edge_c"]]
+        + [f32(pre["rect_min"][..., 0]),
+           f32(pre["rect_max"][..., 0] - pre["rect_min"][..., 0]),
+           f32(pre["rect_min"][..., 1]),
+           f32(pre["rect_max"][..., 1] - pre["rect_min"][..., 1]),
+           f32(cnt_face)],
         axis=-1,
-    )  # [B*F, 13]: A(3) B(3) C(3) rx nx ry ny
+    ).reshape(B * F, 14)  # A(3) B(3) C(3) rx nx ry ny cnt
+    rows_s = base[sigma]  # ONE row-gather into depth-sorted order
+    ftab = rows_s[:, :13]
+    if (B * F) % 128 == 0 and B * F >= 128:
+        rs = _relayout(rows_s, 14)
+        col = lambda c: rs[:, c, :].reshape(B * F)
+    else:
+        col = lambda c: rows_s[:, c]
+    cnt_s = col(13).astype(jnp.int32)
 
     # --- run (face, rect-row) table ---
-    ny_eff = jnp.where(cnt_s > 0, ta(
-        pre["rect_max"][..., 1] - pre["rect_min"][..., 1]), 0)
+    ny_eff = jnp.where(cnt_s > 0, col(12).astype(jnp.int32), 0)
     row_incl = jnp.cumsum(ny_eff)
     row_excl = (row_incl - ny_eff).astype(jnp.int32)
     rtotal = row_incl[-1].astype(jnp.int32)

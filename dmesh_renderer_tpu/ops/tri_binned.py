@@ -1010,16 +1010,16 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
         g_fintense = pvw[..., 0]  # [B, F]
         gvd = pvw[..., 1:4]  # [B, F, 3]
 
-    # verts + vcolor share the faces index: one fused scatter-add
-    acc = jnp.zeros((P, 6), jnp.float32).at[faces].add(
-        jnp.concatenate([gp, gvc], axis=-1))
+    # verts + vcolor + per-view vert depths all share the faces index:
+    # ONE fused scatter-add into [P, 6 + B] (scatter cost is per ROW, so
+    # merging the [B, P]-target depth scatter in rides free; B more
+    # columns never cross the reduce-target cliff at practical view
+    # counts)
+    acc = jnp.zeros((P, 6 + B), jnp.float32).at[faces].add(
+        jnp.concatenate([gp, gvc, gvd.transpose(1, 2, 0)], axis=-1))
     g_verts = acc[:, :3]
-    g_vcolor = acc[:, 3:]
-
-    b_idx = jnp.arange(B, dtype=jnp.int32)
-    g_vdepth = jnp.zeros((B, P), jnp.float32).at[
-        b_idx[:, None, None], faces[None]
-    ].add(gvd)
+    g_vcolor = acc[:, 3:6]
+    g_vdepth = acc[:, 6:].T
 
     def zi(x):
         return np.zeros(x.shape, jax.dtypes.float0)

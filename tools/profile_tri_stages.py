@@ -62,7 +62,7 @@ def main():
 
     def s_emit(a):
         ndc, img, pre = s_project(a)
-        raw = emit_and_sort(pre, gx, gy, kcap)
+        raw = emit_and_sort(pre, gx, gy, kcap, tile_px=tb.TILE)
         return img, pre, raw
 
     def s_align(a):
