@@ -200,9 +200,12 @@ def _march_tables(verts, faces, tets, tet_faces, face_tets, verts_color,
     """
     F = faces.shape[0]
     T = tets.shape[0]
-    p0 = verts[faces[:, 0]]
-    p1 = verts[faces[:, 1]]
-    p2 = verts[faces[:, 2]]
+    # ONE packed corner gather (position + color; row ops are per-ROW
+    # priced, so the [P, 6] table costs half of separate verts/color
+    # gathers -- same fusion as tri_binned._build_face_table)
+    pvt = jnp.concatenate([verts, verts_color], axis=1)  # [P, 6]
+    gv = pvt[faces.reshape(-1)].reshape(F, 3, 6)
+    p0, p1, p2 = gv[:, 0, :3], gv[:, 1, :3], gv[:, 2, :3]
     e1 = p1 - p0
     e2 = p2 - p0
     n = jnp.cross(e1, e2)
@@ -212,8 +215,11 @@ def _march_tables(verts, faces, tets, tet_faces, face_tets, verts_color,
 
     tf = jnp.maximum(tet_faces, 0)  # [T, 4]
     centers = jnp.mean(verts[tets], axis=1)  # [T, 3]
+    # gather geo ONCE per (tet, slot); p0/nhat are slices of it
+    geo_tf = geo[tf]  # [T, 4, 12]
     flip = jnp.sum(
-        nhat[tf] * (centers[:, None, :] - p0[tf]), axis=-1
+        geo_tf[..., 9:12] * (centers[:, None, :] - geo_tf[..., 0:3]),
+        axis=-1,
     ) > 0.0
     sign = jnp.where(flip, -1.0, 1.0).astype(jnp.float32)  # [T, 4]
 
@@ -226,7 +232,7 @@ def _march_tables(verts, faces, tets, tet_faces, face_tets, verts_color,
 
     tet_pack = jnp.concatenate(
         [
-            geo[tf][..., 0:9].reshape(T, 36),  # p0, e1, e2 per slot
+            geo_tf[..., 0:9].reshape(T, 36),  # p0, e1, e2 per slot
             sign,
             tet_faces.astype(jnp.float32),
             nbr.astype(jnp.float32),
@@ -234,7 +240,7 @@ def _march_tables(verts, faces, tets, tet_faces, face_tets, verts_color,
         axis=1,
     )  # [T, 48]
 
-    col9 = verts_color[faces].reshape(F, 9)
+    col9 = gv[:, :, 3:6].reshape(F, 9)
     log1ma = jnp.log(jnp.maximum(1.0 - faces_opacity, 1e-37))
     B = faces_intense.shape[0]
     base = jnp.concatenate(

@@ -961,24 +961,30 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
     # (zero-initialized donated output), in-slab tail rows are zeroed by
     # the kernel, and padding slots carry flat=0 / zero records.
     inten_bf = faces_intense  # [B, F]
-    c9 = verts_color[faces].reshape(F, 9)  # k-major, channel-minor
 
-    if B * F * NG_USED * 4 <= REDUCE_TARGET_BYTES_MAX:
+    if B * F * (NG_USED + 1) * 4 <= REDUCE_TARGET_BYTES_MAX:
+        # dL/dinten rides as a 23rd scatter column, contracted at SLOT
+        # scale from the VC records and the attr table's raw colors
+        # (elementwise at cap scale -- no row ops). The former F-scale
+        # verts_color[faces] gather + einsum cost ~3 ms for the same
+        # quantity: vc_rec[k,c] = sum_p i_k dL_dicolor_c and
+        # icol_raw_c = sum_k i_k c_attr[k,c].
+        gin_slot = jnp.einsum(
+            "cj,cj->c", attr_tab[:, _C0:_C0 + 9],
+            rec[:, _G_VC:_G_VC + 9])  # [cap]
         face_g_sorted = (
-            jnp.zeros((B * F, NG_USED), jnp.float32)
-            .at[keys.flat].add(rec[:, :NG_USED])
+            jnp.zeros((B * F, NG_USED + 1), jnp.float32)
+            .at[keys.flat].add(
+                jnp.concatenate(
+                    [rec[:, :NG_USED], gin_slot[:, None]], axis=1))
         )
         face_g = (
-            jnp.zeros((B * F, NG_USED), jnp.float32)
+            jnp.zeros((B * F, NG_USED + 1), jnp.float32)
             .at[keys.sigma].set(face_g_sorted, unique_indices=True)
-            .reshape(B, F, NG_USED)
+            .reshape(B, F, NG_USED + 1)
         )
         g_fopacity = jnp.sum(face_g[..., _G_ALPHA], axis=0)  # [F]
-        # dL/dinten = sum_p icol_raw . dL_dicolor, contracted at F-scale
-        # from the VC records: vc_rec[k,c] = sum_p i_k dL_dicolor_c and
-        # icol_raw_c = sum_k i_k c_attr[k,c]
-        g_fintense = jnp.einsum(
-            "fj,bfj->bf", c9, face_g[..., _G_VC:_G_VC + 9])  # [B, F]
+        g_fintense = face_g[..., NG_USED]  # [B, F]
         gp = jnp.sum(face_g[..., _G_P:_G_P + 9], axis=0).reshape(F, 3, 3)
         gvc = jnp.sum(
             face_g[..., _G_VC:_G_VC + 9] * inten_bf[..., None], axis=0
