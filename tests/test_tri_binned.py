@@ -140,6 +140,34 @@ def test_overflow_flag_via_public_api(args, monkeypatch):
     assert bool(ovf) and int(total) > 16
 
 
+def test_recommended_key_capacity_right_sizes(args):
+    """recommended_key_capacity (the measure-once + margin replacement for
+    the reference's exact post-readback sizing, rasterizer_impl.cu:287-299)
+    must return a capacity that (a) renders the measured scene without
+    overflow, (b) carries the requested margin over the true emitted
+    total, and (c) rounds up to the compile-sharing bucket."""
+    from dmesh_renderer_tpu.ops.binning import recommended_key_capacity
+
+    (verts, faces, _vc, _fo, mv_t, proj_t, *_rest) = args
+    kcap = recommended_key_capacity(verts, faces, mv_t, proj_t, H, W,
+                                    margin=1.25, bucket=128)
+    assert kcap % 128 == 0
+    _c, _d, (ovf, total) = render_tri_binned(*args, H, W, kcap, True)
+    assert not bool(ovf)
+    t = int(total)
+    # bucket rounding means capacity - margin*total < one bucket (or the
+    # 1024 floor dominates on tiny scenes)
+    assert kcap >= t
+    assert kcap <= max(1024, int(np.ceil(t * 1.25)) + 128)
+
+    # the bbox variant (tet first-hit sizing) can only be larger: bbox
+    # rects are a superset of exact-coverage tiles
+    kcap_bbox = recommended_key_capacity(verts, faces, mv_t, proj_t, H, W,
+                                         margin=1.25, bucket=128,
+                                         exact=False)
+    assert kcap_bbox >= kcap
+
+
 def test_overflow_drop_policy_is_farthest_first(args):
     """Keys are dropped farthest-first: emission is per-view depth-sorted,
     so with kcap cut exactly at the k-th nearest face's emission boundary,
