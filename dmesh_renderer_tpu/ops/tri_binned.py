@@ -586,7 +586,11 @@ def _bwd_face_heavy(st, fs, active, a, u, i0, i1, i2, code, mt, grec, j,
     ab_n = la * lb + (1.0 - la) * ab
     ad_n = la * ld + (1.0 - la) * ad
 
-    aT = a * T
+    # fold the active mask into the a*T factor once instead of masking
+    # each downstream product (saves 3 vector ops per face-visit)
+    m = active
+    mf = m.astype(jnp.float32)
+    aT = a * (T * mf)
     dic_r = g_r * aT
     dic_g = g_g * aT
     dic_b = g_b * aT
@@ -597,15 +601,7 @@ def _bwd_face_heavy(st, fs, active, a, u, i0, i1, i2, code, mt, grec, j,
         + (dep - ad_n) * g_d
     ) * T
     bg_coef = jnp.where(a == 1.0, -final_pT, -final_T / one_m_a)
-    dalpha = dalpha + bg_coef * bg_dot
-
-    m = active
-    mf = m.astype(jnp.float32)
-    dic_r = dic_r * mf
-    dic_g = dic_g * mf
-    dic_b = dic_b * mf
-    did = did * mf
-    dalpha = dalpha * mf
+    dalpha = (dalpha + bg_coef * bg_dot) * mf
 
     ar = jnp.where(m, ar_n, ar)
     ag = jnp.where(m, ag_n, ag)
@@ -617,17 +613,19 @@ def _bwd_face_heavy(st, fs, active, a, u, i0, i1, i2, code, mt, grec, j,
     ld = jnp.where(m, dep, ld)
     la = jnp.where(m, a, la)
 
-    # interpolation-weight gradients (backward.cu:313-349)
+    # interpolation-weight gradients (backward.cu:313-349). Only the
+    # differences dL_di1 - dL_di0 and dL_di2 - dL_di0 are consumed, and
+    # the color/depth corner values are per-face SCALARS: factoring the
+    # differences through scalar corner diffs turns 3 full dL_di_k
+    # evaluations (~26 vector ops) into 2 direct contractions (~14).
     inten = fs["inten"]
-    dL_di0 = (c_attr[0] * dic_r + c_attr[1] * dic_g
-              + c_attr[2] * dic_b) * inten + fs["d"][0] * did
-    dL_di1 = (c_attr[3] * dic_r + c_attr[4] * dic_g
-              + c_attr[5] * dic_b) * inten + fs["d"][1] * did
-    dL_di2 = (c_attr[6] * dic_r + c_attr[7] * dic_g
-              + c_attr[8] * dic_b) * inten + fs["d"][2] * did
-
-    dL_duc = -dL_di0 + dL_di1
-    dL_dvc = -dL_di0 + dL_di2
+    d_s = fs["d"]
+    cu = [(c_attr[3 + c] - c_attr[c]) * inten for c in range(3)]
+    cv = [(c_attr[6 + c] - c_attr[c]) * inten for c in range(3)]
+    dL_duc = (cu[0] * dic_r + cu[1] * dic_g + cu[2] * dic_b
+              + (d_s[1] - d_s[0]) * did)
+    dL_dvc = (cv[0] * dic_r + cv[1] * dic_g + cv[2] * dic_b
+              + (d_s[2] - d_s[0]) * did)
     duc_du, duc_dv, dvc_du, dvc_dv = clamp_bary_uv_grad(code)
     dL_du = dL_duc * duc_du + dL_dvc * dvc_du
     dL_dv = dL_duc * duc_dv + dL_dvc * dvc_dv
