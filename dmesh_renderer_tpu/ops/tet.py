@@ -810,11 +810,20 @@ COMPACT_SHRINK = 8
 COMPACT_MIN_SIZE = 65_536
 
 
+# Hard cap on ladder depth: a third level ballooned compile time past
+# 10 minutes at the bench scene (each level adds a lax.while_loop march
+# phase AND a replay-segment unroll in the backward), so large multi-view
+# buffers clamp to the measured two-phase sweet spot instead of growing
+# the ladder with M.
+MAX_MARCH_PHASES = 2
+
+
 def _march_phase_sizes(m: int) -> list[int]:
     # sizes stay multiples of 128 so _relayout lane-major layout
     # applies at every compaction level
     sizes = [m]
-    while sizes[-1] // COMPACT_SHRINK >= COMPACT_MIN_SIZE:
+    while (len(sizes) < MAX_MARCH_PHASES
+           and sizes[-1] // COMPACT_SHRINK >= COMPACT_MIN_SIZE):
         nxt = sizes[-1] // COMPACT_SHRINK
         sizes.append(nxt + (-nxt) % 128)
     return sizes
@@ -1103,10 +1112,16 @@ def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
     tighter, identical in exact arithmetic.
 
     Gradient records (9 vertex-color moments + dL/d(opacity), keyed by
-    face) are reduced to per-face sums by a stable sort on the face key
-    with the 10 value columns riding as sort operands, then
-    cumsum + searchsorted + diff -- deterministic, and an order of
-    magnitude cheaper than per-step scatter-adds at march width.
+    face) are reduced to per-face sums by the one-hot MXU run extraction:
+    adjacent rays walk in phase, so each 128-lane block of a replay batch
+    holds only ~12 distinct face RUNS; per-block run ids from an in-block
+    cumsum feed a one-hot batched contraction (precision=HIGHEST,
+    f32-exact) that emits run sums + keys in fixed [R, REPLAY_BLOCK_K]
+    layout, scatter-added at survivor scale. Mostly-dead tail batches
+    compact at block granularity first, and a block exceeding the run
+    budget falls back to the full-width scatter under lax.cond (records
+    are never dropped). Deterministic, and ~4x cheaper than rank
+    compaction (tools/exp_onehot_extract.py).
     """
     P = verts.shape[0]
     F = faces.shape[0]

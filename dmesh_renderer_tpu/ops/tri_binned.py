@@ -83,7 +83,7 @@ NG = 128           # gradient-record HBM row width (Mosaic requires
                    # -- which keeps the DMA aligned while cutting the
                    # record traffic (write + reduction read) 4x.
 REC_PER_ROW = 4    # records per 128-lane HBM row
-REC_COLS = NG // REC_PER_ROW  # = 32 columns per record (24 used)
+REC_COLS = NG // REC_PER_ROW  # = 32 columns per record (NG_USED=22 used)
 
 # Attr column layout: ONE [*, 128] f32 table per slot. Mosaic only supports
 # dynamic indexing on the sublane dim, so slots are rows and attrs are
@@ -92,12 +92,13 @@ REC_COLS = NG // REC_PER_ROW  # = 32 columns per record (24 used)
 # everything into a single row halves both the gather and the slab-DMA
 # count vs the round-1/2 split f32 + i32 tables.
 #
-# Integer attributes ride in f32 columns: the int32 edge coefficients
-# (which exceed f32's 2^24 integer range) are split into an arithmetic
-# high part (A >> 12, always f32-exact) and a low part (A & 0xFFF) and
-# reassembled with scalar int ops in-kernel (Mosaic supports scalar f32->
-# i32 converts, but not scalar bitcasts); small ints (flag, face id) are
-# stored directly as exact floats.
+# Integer attributes ride in f32 columns: the edge A/B coefficients are
+# small coordinate differences (|.| < 2^14), f32-exact as stored; only the
+# C constants (|.| < 2^28, exceeding f32's 2^24 integer range) are split
+# into an arithmetic high part (C >> 12, always f32-exact) and a low part
+# (C & 0xFFF) and reassembled with scalar int ops in-kernel (Mosaic
+# supports scalar f32->i32 converts, but not scalar bitcasts); small ints
+# (flag, face id) are stored directly as exact floats.
 _TV, _E1, _E2, _QV = 0, 3, 6, 9
 _C0 = 12           # c0 rgb, c1 rgb, c2 rgb
 _D0 = 21           # d0 d1 d2
@@ -960,7 +961,13 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
     # the kernel, and padding slots carry flat=0 / zero records.
     inten_bf = faces_intense  # [B, F]
 
-    if B * F * (NG_USED + 1) * 4 <= REDUCE_TARGET_BYTES_MAX:
+    # Route to the wide layout only when it actually shrinks the target:
+    # at small B the [F, 19+4B] table is no smaller than [B*F, 23] (equal
+    # at B=1), so the small path -- which skips the cap-scale sigma gather
+    # and per-view masking -- wins even when both cross the cliff.
+    small_bytes = B * F * (NG_USED + 1) * 4
+    wide_bytes = F * (19 + 4 * B) * 4
+    if small_bytes <= max(REDUCE_TARGET_BYTES_MAX, wide_bytes):
         # dL/dinten rides as a 23rd scatter column, contracted at SLOT
         # scale from the VC records and the attr table's raw colors
         # (elementwise at cap scale -- no row ops). The former F-scale

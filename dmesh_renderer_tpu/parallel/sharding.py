@@ -19,7 +19,7 @@ op carries the B axis. The tile-binned path flattens (view, tile) into one
 key table, which pjit cannot partition; multi-chip runs at binned scale wrap
 the render in `shard_map` over the views axis so each device bins its own
 local views with per-device key capacities -- this IS the production path:
-see models/dmesh.make_train_step(sharded=True) (binned forced) and
+see models/dmesh.make_train_step(..., mesh=...) (binned forced) and
 tests/test_sharding.py::test_sharded_binned_step_matches_single_device.
 """
 

@@ -84,7 +84,7 @@ def main():
         ray_o, ray_d = generate_rays(imv, ipj, W, H, norm_eps_mode="tet",
                                      jitter_seed=1)
         kcap = default_key_capacity(B, faces.shape[0], avg_tiles_per_face=8)
-        ff, rt, iu, iv = first_intersection_binned(
+        ff, rt, iu, iv, _aux = first_intersection_binned(
             verts, faces, pre, img, imv[:, 3, :3], ray_d, H, W, B, kcap)
         return csum(ff, rt)
 
