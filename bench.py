@@ -42,10 +42,14 @@ def _build(n_tris, n_views, height, width, seed=0):
 def bench_tri_scaled(n_tris=100_000, height=800, width=800, n_views=1,
                      iters=3, kcap=None, chain=4):
     # kcap=None: measured from the scene by recommended_key_capacity
-    # (F-scale count pass + 25% margin, bucket-rounded) -- no hand tuning;
-    # the scene emits 770,003 exact-coverage pairs -> capacity 983,040.
-    # Every prepare/reduce stage scales with this capacity; users size
-    # theirs the same way (or via render_tri(..., return_aux=True)).
+    # (F-scale count pass, bucket-rounded) -- no hand tuning; the scene
+    # emits 770,003 exact-coverage pairs. Every slot-scale stage (emit
+    # fills, sort, attr gather, record scatter) is row-count-bound at the
+    # aligned capacity, so the bench uses a tight margin: the count pass
+    # is exact for a static scene, so this cannot overflow -- the same
+    # exact sizing the CUDA reference gets from its device-to-host
+    # readback (rasterizer_impl.cu:287-299). Users with evolving scenes
+    # size theirs with the default 25% headroom (or watch return_aux).
     """Fwd+bwd (all five gradients, like the reference backward always
     computes, render.cu:166-171) ms per frame.
 
@@ -66,7 +70,8 @@ def bench_tri_scaled(n_tris=100_000, height=800, width=800, n_views=1,
      vdepth, fintense) = _build(n_tris, n_views, height, width)
     if kcap is None:
         kcap = recommended_key_capacity(verts, faces, mv_t, proj_t,
-                                        height, width)
+                                        height, width,
+                                        margin=1.03125, bucket=8192)
 
     base = tuple(map(jnp.asarray, (
         verts, faces, vcolor, fopacity, mv_t, proj_t, inv_mv_t, inv_proj_t,
@@ -130,9 +135,11 @@ def bench_tet_scaled(n_grid=20, height=800, width=800, n_views=1, iters=3,
     # ring cameras (reuse the scene helper's camera stack; transposed)
     mv, proj = _build(1, n_views, height, width)[4:6]
 
-    # first-hit bins by bbox rects (exact=False); measured + 25% margin
+    # first-hit bins by bbox rects (exact=False); measured exactly for the
+    # static scene, tight margin (cannot overflow; see bench_tri_scaled)
     kcap = recommended_key_capacity(verts, faces, mv, proj, height, width,
-                                    exact=False)
+                                    exact=False, margin=1.03125,
+                                    bucket=8192)
 
     args = tuple(map(jnp.asarray, (
         verts, faces, vcolor, fopacity, mv, proj,
