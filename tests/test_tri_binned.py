@@ -140,6 +140,54 @@ def test_overflow_flag_via_public_api(args, monkeypatch):
     assert bool(ovf) and int(total) > 16
 
 
+def test_degenerate_and_offscreen_parity():
+    """Binned path matches the oracle on pathological geometry the fixed
+    scenes lack: zero-area (repeated-vertex) triangles and faces far
+    outside the frustum, on a non-tile-aligned image. Distilled from a
+    6-config fuzz sweep (round 3; all configs ≤7e-6 rel L∞)."""
+    seed, n_tris, b = 102, 24, 1
+    rng = np.random.RandomState(seed)
+    soup = scenes.random_triangle_soup(n_tris, seed=seed)
+    v = soup["verts"].copy()
+    for i in range(5):  # zero-area faces
+        f = soup["faces"][i]
+        v[f[1]] = v[f[0]]
+    for i in range(5, 10):  # far outside the frustum
+        v[soup["faces"][i]] += 50.0
+    mv, proj = scenes.ring_cameras(b, radius=2.5)
+    vdepth, fintense = scenes.soup_view_attrs(soup, b, seed=seed + 1)
+    mv_t = np.swapaxes(mv, 1, 2).copy()
+    proj_t = np.swapaxes(proj, 1, 2).copy()
+    bg = rng.rand(3).astype(np.float32)
+    h, w = 33, 40
+    a = tuple(map(jnp.asarray, (
+        v, soup["faces"], soup["verts_color"], soup["faces_opacity"],
+        mv_t, proj_t, np.linalg.inv(mv_t), np.linalg.inv(proj_t),
+        vdepth, fintense, bg)))
+    wc = jnp.asarray(rng.randn(b, 3, h, w).astype(np.float32))
+    wd = jnp.asarray(rng.randn(b, 1, h, w).astype(np.float32))
+
+    def loss(render):
+        def fn(verts, vcolor, fop, vdep, fint):
+            c, d = render(verts, a[1], vcolor, fop, a[4], a[5], a[6],
+                          a[7], vdep, fint, a[10], h, w)
+            return jnp.sum(c * wc) + jnp.sum(d * wd)
+        return fn
+
+    co, do_ = render_tri_oracle(*a, h, w)
+    cb, db = render_tri_binned(*a, h, w)
+    np.testing.assert_allclose(np.array(cb), np.array(co), atol=2e-5)
+    np.testing.assert_allclose(np.array(db), np.array(do_), atol=2e-5)
+
+    da = (a[0], a[2], a[3], a[8], a[9])
+    go = jax.grad(loss(render_tri_oracle), argnums=tuple(range(5)))(*da)
+    gb = jax.grad(loss(render_tri_binned), argnums=tuple(range(5)))(*da)
+    for x, y in zip(go, gb):
+        x, y = np.array(x, np.float64), np.array(y, np.float64)
+        s = max(1.0, np.abs(x).max())
+        assert np.abs(x - y).max() / s < 1e-4
+
+
 def test_recommended_key_capacity_right_sizes(args):
     """recommended_key_capacity (the measure-once + margin replacement for
     the reference's exact post-readback sizing, rasterizer_impl.cu:287-299)
