@@ -28,6 +28,18 @@ The ``active`` mask contract: True only for pixels whose march terminated
 validly (transmittance exhausted or exited the tessellation). Rays that miss
 the tessellation entirely are inactive (forward.cu:557-558 leaves
 this_is_active false).
+
+Degenerate-input caveat (shared with the CUDA reference): a ray lying
+EXACTLY in a face plane of the tessellation (possible on perfectly regular,
+unjittered grids) produces exact u/v/t ties in the strict Moller-Trumbore
+tests, where float32 op order decides hit vs miss -- any two correct
+implementations (including the CUDA original on different hardware) can
+disagree on such measure-zero rays (verified: a zero-jitter Freudenthal
+grid diverges from the scalar spec on exactly the one image column whose
+rays ride a grid plane; every other pixel matches to ~2e-7). This is why
+the reference offers jittered rays (``ray_random_seed``,
+cuda_renderer/forward.cu:82-88); use them (or jittered tessellations) for
+regular grids.
 """
 
 from __future__ import annotations

@@ -93,6 +93,54 @@ def test_tet_matches_numpy_spec():
         assert err < 2e-4, f"{name}: rel Linf {err}"
 
 
+def test_tet_camera_inside_tessellation_matches_spec():
+    """Camera INSIDE the tessellation (ring radius smaller than the grid
+    extent): the first hit starts mid-walk and the entry-normal selection
+    sees faces from both sides -- a regime the golden scene's outside
+    cameras never exercise. Distilled from the round-3 fuzz sweep (jittered
+    grids at 5 configs all matched; zero-jitter regular grids are
+    fp-degenerate by construction -- see the ops/tet.py module docstring)."""
+    verts, tets = freudenthal_grid(2, jitter=0.12, seed=25)
+    faces, face_tets, tet_faces = build_tet_connectivity(tets)
+    rng = np.random.RandomState(26)
+    vcolor = rng.rand(verts.shape[0], 3).astype(np.float32)
+    fopacity = rng.uniform(0.25, 0.95, faces.shape[0]).astype(np.float32)
+    fintense = rng.uniform(0.5, 1.0, (1, faces.shape[0])).astype(np.float32)
+    mv, proj = scenes.ring_cameras(1, radius=0.6)
+    mv_t = np.swapaxes(mv, 1, 2).copy()
+    proj_t = np.swapaxes(proj, 1, 2).copy()
+    bg = np.array([0.3, 0.1, 0.2], np.float32)
+    sc = (verts, faces, vcolor, fopacity, mv_t, proj_t, fintense,
+          tets, face_tets, tet_faces, bg)
+    scj = list(map(jnp.asarray, sc))
+    h = w = 24
+    wc = jnp.asarray(np.random.RandomState(27).randn(1, 3, h, w)
+                     .astype(np.float32))
+    wd = jnp.asarray(np.random.RandomState(28).randn(1, 1, h, w)
+                     .astype(np.float32))
+
+    def loss(vc, fo):
+        c, d, act = render_tet_core(
+            scj[0], scj[1], vc, fo, scj[4], scj[5],
+            jnp.linalg.inv(scj[4]), jnp.linalg.inv(scj[5]), scj[6],
+            scj[7], scj[8], scj[9], scj[10], h, w, 0)
+        return jnp.sum(c * wc) + jnp.sum(d * wd), (c, d, act)
+
+    (_, (c, d, act)), (g_vc, g_fo) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(scj[2], scj[3])
+
+    c_n, d_n, act_n, aux = render_tet_np(*sc, h, w)
+    np.testing.assert_array_equal(np.array(act), act_n)
+    assert 0 < act_n.sum()  # rays from inside do hit
+    np.testing.assert_allclose(np.array(c), c_n, atol=2e-5)
+    np.testing.assert_allclose(np.array(d), d_n, atol=2e-5)
+    g = render_tet_np_backward(*sc, h, w, np.array(wc), np.array(wd), aux)
+    for got, want in ((np.array(g_vc), g["verts_color"]),
+                      (np.array(g_fo), g["faces_opacity"])):
+        scale = max(1.0, np.abs(want).max())
+        assert np.abs(got - want).max() / scale < 2e-4
+
+
 def _golden_payload():
     sc = _scene()
     c, d, act, g_vc, g_fo, _, _ = _jax_render_and_grads(sc)
