@@ -141,6 +141,55 @@ def test_tet_camera_inside_tessellation_matches_spec():
         assert np.abs(got - want).max() / scale < 2e-4
 
 
+def test_marching_backward_fallback_matches_replay(monkeypatch):
+    """Walks deeper than the march log fall back from the log-replay
+    backward to the re-walking marching backward (ops/tet._tet_bwd cond on
+    nc_max <= log_depth). Force that branch by shrinking LOG_CAP below the
+    scene's deepest walk and check the two backward algorithms agree."""
+    import dmesh_renderer_tpu.ops.tet as tet_mod
+
+    sc = _scene()
+    (verts, faces, vcolor, fopacity, mv_t, proj_t, fintense,
+     tets, face_tets, tet_faces, bg) = sc
+    # the golden scene's deepest walk exceeds 4 steps: truncating the
+    # march at 4 steps changes the image
+    scj0 = list(map(jnp.asarray, sc))
+
+    def render(ms):
+        return render_tet_core(
+            scj0[0], scj0[1], scj0[2], scj0[3], scj0[4], scj0[5],
+            jnp.linalg.inv(scj0[4]), jnp.linalg.inv(scj0[5]), scj0[6],
+            scj0[7], scj0[8], scj0[9], scj0[10], H, W, 0, max_steps=ms)[0]
+
+    assert float(jnp.abs(render(4) - render(24)).max()) > 1e-4
+
+    def grads(max_steps):
+        scj = list(map(jnp.asarray, sc))
+        rng = np.random.RandomState(5)
+        wc = jnp.asarray(rng.randn(B, 3, H, W).astype(np.float32))
+        wd = jnp.asarray(rng.randn(B, 1, H, W).astype(np.float32))
+
+        def loss(vc, fo):
+            c, d, act = render_tet_core(
+                scj[0], scj[1], vc, fo, scj[4], scj[5],
+                jnp.linalg.inv(scj[4]), jnp.linalg.inv(scj[5]), scj[6],
+                scj[7], scj[8], scj[9], scj[10], H, W, 0,
+                max_steps=max_steps)
+            return jnp.sum(c * wc) + jnp.sum(d * wd)
+
+        return jax.grad(loss, argnums=(0, 1))(scj[2], scj[3])
+
+    g_replay = grads(max_steps=24)  # log covers the walk: replay path
+    monkeypatch.setattr(tet_mod, "LOG_CAP", 4)
+    g_march = grads(max_steps=24)  # log too short: marching backward runs
+    for a, b, name in zip(g_replay, g_march, ["verts_color",
+                                              "faces_opacity"]):
+        a, b = np.array(a, np.float64), np.array(b, np.float64)
+        scale = max(1.0, np.abs(a).max())
+        err = np.abs(a - b).max() / scale
+        assert err < 2e-4, f"{name}: rel Linf {err}"
+
+
 def _golden_payload():
     sc = _scene()
     c, d, act, g_vc, g_fo, _, _ = _jax_render_and_grads(sc)
