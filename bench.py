@@ -258,6 +258,13 @@ def main():
     except Exception as e:  # tet metric is secondary; never lose the headline
         extra["tet_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
+        # multi-view scaling point (BASELINE.md config 5): B=2 is the
+        # single-chip sweet spot the v5e-8 projection leans on
+        ms2 = bench_tri_scaled(n_views=2, chain=2, iters=2)
+        extra["tri_ms_per_view_B2"] = round(ms2, 3)
+    except Exception as e:
+        extra["tri_b2_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
         err = bench_sharded_smoke()
         extra["sharded_smoke_max_abs_err"] = float(f"{err:.3g}")
         extra["sharded_smoke_ok"] = bool(err < 1e-4)
