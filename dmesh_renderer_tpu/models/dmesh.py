@@ -23,7 +23,6 @@ import optax
 from ..ops.tri import render_tri_auto
 from ..parallel.sharding import (
     VIEW_AXIS,
-    make_view_mesh,
     replicated,
     view_sharding,
 )
@@ -53,6 +52,16 @@ class TrainState(NamedTuple):
     scene: TriScene
     view_params: Any      # (verts_depth, faces_intense) if learned, or None
     opt_state: optax.OptState
+
+
+def _apply_grads(optimizer, state: TrainState, grads):
+    """Shared optimizer-update step (single source for every train
+    step/loop variant, so a future change -- clipping, loss scaling --
+    cannot drift between them)."""
+    updates, opt_state = optimizer.update(grads, state.opt_state,
+                                          state.scene)
+    scene = optax.apply_updates(state.scene, updates)
+    return TrainState(scene, state.view_params, opt_state)
 
 
 def render_views(scene: TriScene, faces: Array, batch: ViewBatch, bg: Array,
@@ -123,11 +132,7 @@ def make_train_step(optimizer: optax.GradientTransformation, faces: Array,
     if mesh is None:
         def step(state: TrainState, batch: ViewBatch):
             loss, grads = jax.value_and_grad(loss_fn)(state.scene, batch)
-            updates, opt_state = optimizer.update(
-                grads, state.opt_state, state.scene
-            )
-            scene = optax.apply_updates(state.scene, updates)
-            return TrainState(scene, state.view_params, opt_state), loss
+            return _apply_grads(optimizer, state, grads), loss
 
         return jax.jit(step)
 
@@ -135,16 +140,14 @@ def make_train_step(optimizer: optax.GradientTransformation, faces: Array,
 
     def step(state: TrainState, batch: ViewBatch):
         loss, grads = sharded_vg(state.scene, batch)
-        updates, opt_state = optimizer.update(
-            grads, state.opt_state, state.scene
-        )
-        scene = optax.apply_updates(state.scene, updates)
-        return TrainState(scene, state.view_params, opt_state), loss
+        return _apply_grads(optimizer, state, grads), loss
 
     rep = replicated(mesh)
     vs = view_sharding(mesh)
-    # Prefix pytrees: `rep` covers the whole opt_state subtree.
-    state_sh = TrainState(TriScene(rep, rep, rep), None, rep)
+    # Prefix pytrees: `rep` covers the whole opt_state subtree; `vs`
+    # covers view_params whether it is None (empty subtree) or a tuple of
+    # per-view [B, ...] arrays (sharded on the views axis).
+    state_sh = TrainState(TriScene(rep, rep, rep), vs, rep)
     batch_sh = ViewBatch(*([vs] * 7))
     return jax.jit(
         step,
@@ -202,12 +205,12 @@ def make_tet_se_fn(geom: TetGeometry, bg: Array, height: int, width: int,
     global masked mean."""
     from ..ops.tet import render_tet_core
 
-    def se_fn(scene: TetScene, batch: TetViewBatch):
+    def se_fn(scene: TetScene, batch: TetViewBatch, view_offset=None):
         color, _depth, active = render_tet_core(
             geom.verts, geom.faces, scene.verts_color, scene.faces_opacity,
             batch.mv_t, batch.proj_t, batch.inv_mv_t, batch.inv_proj_t,
             batch.faces_intense, geom.tets, geom.face_tets, geom.tet_faces,
-            bg, height, width, seed,
+            bg, height, width, seed, view_offset=view_offset,
         )
         m = active[:, None, :, :].astype(jnp.float32)
         se = jnp.sum(m * (color - batch.target) ** 2)
@@ -232,11 +235,7 @@ def make_tet_train_step(optimizer: optax.GradientTransformation,
             (se, cnt), grads = jax.value_and_grad(se_fn, has_aux=True)(
                 state.scene, batch)
             loss, grads = normalize(se, cnt, grads)
-            updates, opt_state = optimizer.update(
-                grads, state.opt_state, state.scene
-            )
-            scene = optax.apply_updates(state.scene, updates)
-            return TrainState(scene, state.view_params, opt_state), loss
+            return _apply_grads(optimizer, state, grads), loss
 
         return jax.jit(step)
 
@@ -244,8 +243,12 @@ def make_tet_train_step(optimizer: optax.GradientTransformation,
     from jax.sharding import PartitionSpec as P
 
     def local_vg(scene: TetScene, batch: TetViewBatch):
+        # Jittered-ray fields (seed > 0) are keyed per GLOBAL view: this
+        # device's view 0 is global view axis_index * B_local, so the
+        # sharded step draws exactly the unsharded batch's jitter.
+        off = lax.axis_index(VIEW_AXIS) * batch.mv_t.shape[0]
         (se, cnt), grads = jax.value_and_grad(se_fn, has_aux=True)(
-            scene, batch)
+            scene, batch, off)
         se = lax.psum(se, VIEW_AXIS)
         cnt = lax.psum(cnt, VIEW_AXIS)
         grads = jax.tree.map(lambda g: lax.psum(g, VIEW_AXIS), grads)
@@ -260,15 +263,11 @@ def make_tet_train_step(optimizer: optax.GradientTransformation,
     def step(state: TrainState, batch: TetViewBatch):
         se, cnt, grads = sharded_vg(state.scene, batch)
         loss, grads = normalize(se, cnt, grads)
-        updates, opt_state = optimizer.update(
-            grads, state.opt_state, state.scene
-        )
-        scene = optax.apply_updates(state.scene, updates)
-        return TrainState(scene, state.view_params, opt_state), loss
+        return _apply_grads(optimizer, state, grads), loss
 
     rep = replicated(mesh)
     vs = view_sharding(mesh)
-    state_sh = TrainState(TetScene(rep, rep), None, rep)
+    state_sh = TrainState(TetScene(rep, rep), vs, rep)
     batch_sh = TetViewBatch(*([vs] * 6))
     return jax.jit(
         step,
@@ -303,10 +302,7 @@ def make_train_loop(optimizer: optax.GradientTransformation, faces: Array,
     def loop(state: TrainState, batch: ViewBatch):
         def step(state, _):
             loss, grads = vg(state.scene, batch)
-            updates, opt_state = optimizer.update(grads, state.opt_state,
-                                                  state.scene)
-            scene = optax.apply_updates(state.scene, updates)
-            return TrainState(scene, state.view_params, opt_state), loss
+            return _apply_grads(optimizer, state, grads), loss
 
         return jax.lax.scan(step, state, None, length=n_steps)
 
@@ -315,7 +311,7 @@ def make_train_loop(optimizer: optax.GradientTransformation, faces: Array,
 
     rep = replicated(mesh)
     vs = view_sharding(mesh)
-    state_sh = TrainState(TriScene(rep, rep, rep), None, rep)
+    state_sh = TrainState(TriScene(rep, rep, rep), vs, rep)
     batch_sh = ViewBatch(*([vs] * 7))
     return jax.jit(
         loop,

@@ -33,6 +33,7 @@ def generate_rays(
     *,
     norm_eps_mode: str = "tri",
     jitter_seed: int | None = None,
+    view_offset=None,
 ):
     """Build per-pixel rays for every view.
 
@@ -45,6 +46,13 @@ def generate_rays(
 
     jitter_seed: if a positive int, sample points are jittered inside the
     pixel as ``pix - 0.5 + 0.5 * U[0,1)`` (cuda_renderer/forward.cu:120-123).
+    Each view's jitter field is keyed by fold_in(seed, global view index),
+    so view k's field is the same whether rendered alone or in any batch.
+
+    view_offset: global index of view 0 of this call (int or traced int32,
+    default 0). Under shard_map over views, pass
+    ``lax.axis_index("views") * B_local`` so every device draws its own
+    views' jitter fields -- identical to the unsharded batch draw.
 
     Returns (ray_o [B, H, W, 3], ray_d [B, H, W, 3]).
     """
@@ -60,9 +68,19 @@ def generate_rays(
 
     if jitter_seed is not None and jitter_seed > 0:
         key = jax.random.PRNGKey(jitter_seed)
-        kx, ky = jax.random.split(key)
-        ux = jax.random.uniform(kx, (B, height, width), dtype=jnp.float32)
-        uy = jax.random.uniform(ky, (B, height, width), dtype=jnp.float32)
+        vidx = jnp.arange(B, dtype=jnp.int32)
+        if view_offset is not None:
+            vidx = vidx + jnp.asarray(view_offset, jnp.int32)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(vidx)
+
+        def draw(k):
+            kx, ky = jax.random.split(k)
+            return (
+                jax.random.uniform(kx, (height, width), dtype=jnp.float32),
+                jax.random.uniform(ky, (height, width), dtype=jnp.float32),
+            )
+
+        ux, uy = jax.vmap(draw)(keys)
         pixf_x = pix_x[None] - 0.5 + 0.5 * ux
         pixf_y = pix_y[None] - 0.5 + 0.5 * uy
     else:

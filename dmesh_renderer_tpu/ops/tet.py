@@ -917,7 +917,7 @@ def _compacted_while(state_t, consts_t, fbase, globals_, step_fn, max_steps,
 def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
                         proj_t, inv_mv_t, inv_proj_t, faces_intense, tets,
                         face_tets, tet_faces, bg, height, width, seed,
-                        max_steps, kcap=None):
+                        max_steps, kcap=None, view_offset=None):
     B = mv_t.shape[0]
     N = height * width
 
@@ -934,7 +934,7 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
 
     ray_o, ray_d_img = generate_rays(
         inv_mv_t, inv_proj_t, width, height, norm_eps_mode="tet",
-        jitter_seed=seed if seed > 0 else None,
+        jitter_seed=seed if seed > 0 else None, view_offset=view_offset,
     )
     ray_o = ray_o.reshape(B, N, 3)
     ray_d = ray_d_img.reshape(B, N, 3)
@@ -1538,7 +1538,7 @@ def render_tet_core(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
                     inv_mv_t, inv_proj_t, faces_intense, tets, face_tets,
                     tet_faces, bg, height, width, seed,
                     max_steps=DEFAULT_MAX_MARCH_STEPS, kcap=None,
-                    with_aux=False):
+                    with_aux=False, view_offset=None):
     """Differentiable tet renderer.
 
     Shapes (reference: dmesh_renderer/__init__.py:451-463): verts [P,3],
@@ -1555,11 +1555,16 @@ def render_tet_core(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     -- the only reliable overflow channel on backends without host
     callbacks (see binning.overflow_warning); the dense first-hit path has
     no capacity and reports ``(False, -1)``.
+
+    ``view_offset``: global index of view 0 (int or traced int32, default
+    0); jittered-ray fields are keyed per GLOBAL view, so a shard_map over
+    views passing ``lax.axis_index * B_local`` reproduces the unsharded
+    batch's jitter exactly (see rays.generate_rays).
     """
     color, depth, active, saved = _render_tet_forward(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
         inv_proj_t, faces_intense, tets, face_tets, tet_faces, bg,
-        height, width, seed, max_steps, kcap,
+        height, width, seed, max_steps, kcap, view_offset=view_offset,
     )
     if with_aux:
         return color, depth, active, (saved["fh_overflow"],
@@ -1569,14 +1574,16 @@ def render_tet_core(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
 
 def _tet_fwd(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
              inv_mv_t, inv_proj_t, faces_intense, tets, face_tets, tet_faces,
-             bg, height, width, seed, max_steps, kcap, with_aux):
+             bg, height, width, seed, max_steps, kcap, with_aux,
+             view_offset=None):
     color, depth, active, saved = _render_tet_forward(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
         inv_proj_t, faces_intense, tets, face_tets, tet_faces, bg,
-        height, width, seed, max_steps, kcap,
+        height, width, seed, max_steps, kcap, view_offset=view_offset,
     )
     res = (verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
-           inv_proj_t, faces_intense, tets, face_tets, tet_faces, bg, saved)
+           inv_proj_t, faces_intense, tets, face_tets, tet_faces, bg, saved,
+           view_offset)
     if with_aux:
         out = (color, depth, active, (saved["fh_overflow"],
                                       saved["fh_num_rendered"]))
@@ -1587,7 +1594,8 @@ def _tet_fwd(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
 
 def _tet_bwd(height, width, seed, max_steps, kcap, with_aux, res, cots):
     (verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
-     inv_proj_t, faces_intense, tets, face_tets, tet_faces, bg, saved) = res
+     inv_proj_t, faces_intense, tets, face_tets, tet_faces, bg, saved,
+     view_offset) = res
     if with_aux:
         dL_dcolor, dL_ddepth, _dL_dactive, _aux_cot = cots
     else:
@@ -1633,6 +1641,7 @@ def _tet_bwd(height, width, seed, max_steps, kcap, with_aux, res, cots):
         zi(face_tets),
         zi(tet_faces),
         jnp.zeros_like(bg),
+        None if view_offset is None else zi(jnp.asarray(view_offset)),
     )
 
 

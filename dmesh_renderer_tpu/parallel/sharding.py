@@ -19,7 +19,9 @@ op carries the B axis. The tile-binned path flattens (view, tile) into one
 key table, which pjit cannot partition; multi-chip runs at binned scale wrap
 the render in `shard_map` over the views axis so each device bins its own
 local views with per-device key capacities -- this IS the production path:
-see models/dmesh.make_train_step(..., mesh=...) (binned forced) and
+see models/dmesh.make_train_step(..., mesh=...) -- pass force="binned" to
+pin the binned path (the auto heuristic may pick the dense oracle for
+small scenes) -- and
 tests/test_sharding.py::test_sharded_binned_step_matches_single_device.
 """
 
@@ -37,6 +39,12 @@ def make_view_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            # a silently truncated mesh would halve (or worse) the view
+            # parallelism the caller sized capacities/memory for
+            raise ValueError(
+                f"make_view_mesh: requested {n_devices} devices but only "
+                f"{len(devices)} are available")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (VIEW_AXIS,))
 

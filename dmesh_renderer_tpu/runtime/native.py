@@ -31,11 +31,23 @@ def _load():
         try:
             if (not os.path.exists(_LIB)
                     or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                     "-o", _LIB, _SRC],
-                    check=True, capture_output=True,
-                )
+                try:
+                    # build to a private temp name and os.replace() it in:
+                    # atomic on POSIX, so a concurrent process can never
+                    # dlopen a half-written library
+                    tmp = f"{_LIB}.build.{os.getpid()}"
+                    subprocess.run(
+                        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                         "-o", tmp, _SRC],
+                        check=True, capture_output=True,
+                    )
+                    os.replace(tmp, _LIB)
+                except Exception:
+                    # stale-but-loadable library (or read-only install /
+                    # missing toolchain): fall through to CDLL if a built
+                    # .so exists rather than silently dropping to NumPy
+                    if not os.path.exists(_LIB):
+                        raise
             lib = ctypes.CDLL(_LIB)
             fn = lib.dmrt_build_tet_connectivity
             fn.restype = ctypes.c_int64

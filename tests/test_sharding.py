@@ -128,11 +128,14 @@ def test_train_loop_scan(setup):
     assert losses[-1] < losses[0]
 
 
-def test_tet_sharded_step_matches_single_device():
+@pytest.mark.parametrize("seed", [0, 3])
+def test_tet_sharded_step_matches_single_device(seed):
     """Tet-scene training (vcolor + fopacity) sharded 8-way under shard_map
     must match the single-device step: the masked loss psums numerator and
     denominator separately, so differing per-view active counts stay
-    correct."""
+    correct. seed=3 additionally pins jittered-ray parity: each device keys
+    its views' jitter by GLOBAL view index (fold_in), so the sharded step
+    draws exactly the unsharded batch's fields."""
     from dmesh_renderer_tpu.models.dmesh import (
         TetGeometry, TetScene, TetViewBatch, init_tet_train_state,
         make_tet_train_step,
@@ -167,11 +170,13 @@ def test_tet_sharded_step_matches_single_device():
     bg = jnp.zeros(3, jnp.float32)
     optimizer = optax.sgd(1e-2)
 
-    step1 = make_tet_train_step(optimizer, geom, bg, Ht, Wt, mesh=None)
+    step1 = make_tet_train_step(optimizer, geom, bg, Ht, Wt, mesh=None,
+                                seed=seed)
     st1, loss1 = step1(init_tet_train_state(scene, optimizer), batch)
 
     mesh = make_view_mesh(8)
-    step8 = make_tet_train_step(optimizer, geom, bg, Ht, Wt, mesh=mesh)
+    step8 = make_tet_train_step(optimizer, geom, bg, Ht, Wt, mesh=mesh,
+                                seed=seed)
     st8, loss8 = step8(init_tet_train_state(scene, optimizer),
                        shard_view_batch(mesh, batch))
 
@@ -187,6 +192,28 @@ def test_tet_sharded_step_matches_single_device():
     for _ in range(5):
         st, loss = step8(st, shard_view_batch(mesh, batch))
     assert float(loss) < float(loss8)
+
+
+def test_view_params_state_accepted_under_mesh(setup):
+    """TrainState.view_params advertises '(verts_depth, faces_intense) if
+    learned, or None'; the mesh path's in_shardings must accept BOTH (the
+    `vs` prefix covers the empty None subtree and per-view arrays alike)
+    and pass the params through the step unchanged."""
+    from dmesh_renderer_tpu.models.dmesh import TrainState
+
+    soup, scene, batch = setup
+    optimizer = optax.sgd(1e-2)
+    faces = jnp.asarray(soup["faces"])
+    bg = jnp.zeros(3, jnp.float32)
+    mesh = make_view_mesh(8)
+    step8 = make_train_step(optimizer, faces, bg, H, W, mesh=mesh)
+
+    vp = (batch.verts_depth, batch.faces_intense)
+    st = TrainState(scene, vp, optimizer.init(scene))
+    st2, loss = step8(st, shard_view_batch(mesh, batch))
+    assert np.isfinite(float(loss))
+    for a, b in zip(st2.view_params, vp):
+        np.testing.assert_array_equal(np.array(a), np.array(b))
 
 
 def test_overflow_flag_propagates_under_shard_map(setup):
