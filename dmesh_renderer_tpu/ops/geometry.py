@@ -65,7 +65,13 @@ def transform_point43(p: Array, m_t: Array) -> Array:
 def ndc2pix(v: Array, size) -> Array:
     """NDC coordinate -> continuous pixel coordinate.
 
-    Reference: cuda_rasterizer/auxiliary.h:33-36.
+    Reference: cuda_rasterizer/auxiliary.h:33-36. The reference's double
+    literals promote the expression to f64 with ONE final rounding; JAX
+    without x64 computes it in f32 (three roundings), so results can
+    differ by 1 ulp when a coordinate lands exactly on a 1/SUBPIXEL
+    boundary -- the same measure-zero degeneracy class as the regular-grid
+    caveat in ops/tet.py (f64 emulation on TPU would cost far more than
+    the parity is worth).
     """
     return ((v + 1.0) * size - 1.0) * 0.5
 
@@ -361,8 +367,8 @@ def face_edge_coeffs(verts_image: Array, faces: Array, fimg=None):
     face-scale row gathers cost ~12 ns/row, so callers that already hold
     them (preprocess_faces) pass them in instead of re-gathering."""
     im = verts_image[:, faces, :] if fimg is None else fimg  # [B, F, 3, 2]
-    xi = (im[..., 0] * 16.0).astype(jnp.int32)  # C truncation toward zero
-    yi = (im[..., 1] * 16.0).astype(jnp.int32)
+    xi = (im[..., 0] * SUBPIXEL).astype(jnp.int32)  # C-truncation to zero
+    yi = (im[..., 1] * SUBPIXEL).astype(jnp.int32)
     x1, x2, x3 = xi[..., 0], xi[..., 1], xi[..., 2]
     y1, y2, y3 = yi[..., 0], yi[..., 1], yi[..., 2]
 

@@ -1396,7 +1396,8 @@ def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
 def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
                          proj_t, inv_mv_t, inv_proj_t, faces_intense, tets,
                          face_tets, tet_faces, bg, height, width, seed,
-                         max_steps, saved, dL_dcolor, dL_ddepth):
+                         max_steps, saved, dL_dcolor, dL_ddepth,
+                         view_offset=None):
     """Reverse march (backward.cu:86-487): gradients for verts_color and
     faces_opacity only, accumulated deterministically."""
     B = mv_t.shape[0]
@@ -1407,9 +1408,11 @@ def _render_tet_backward(verts, faces, verts_color, faces_opacity, mv_t,
     march = _march_tables(verts, faces, tets, tet_faces, face_tets,
                           verts_color, faces_opacity, faces_intense)
 
+    # the regenerated rays MUST be the forward's rays: same jitter keys,
+    # incl. the global-view offset under sharding
     ray_o, ray_d = generate_rays(
         inv_mv_t, inv_proj_t, width, height, norm_eps_mode="tet",
-        jitter_seed=seed if seed > 0 else None,
+        jitter_seed=seed if seed > 0 else None, view_offset=view_offset,
     )
 
     # flatten to [M] (padded; see the forward) and work on clean 1-D
@@ -1617,7 +1620,7 @@ def _tet_bwd(height, width, seed, max_steps, kcap, with_aux, res, cots):
                 verts, faces, verts_color, faces_opacity, mv_t, proj_t,
                 inv_mv_t, inv_proj_t, faces_intense, tets, face_tets,
                 tet_faces, bg, height, width, seed, max_steps, saved,
-                dL_dcolor, dL_ddepth,
+                dL_dcolor, dL_ddepth, view_offset=view_offset,
             )
 
         nc_max = jnp.max(saved["n_contrib"])

@@ -34,6 +34,9 @@ def render_tri_auto(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
         of the binned path (the oracle path has no capacity: aux is
         ``(False, -1)``).
     """
+    if force not in (None, "oracle", "binned"):
+        raise ValueError(
+            f"force must be None, 'oracle' or 'binned', got {force!r}")
     n_faces = faces.shape[0]
     threshold = (BINNED_THRESHOLD_CPU if jax.default_backend() == "cpu"
                  else BINNED_THRESHOLD_TPU)

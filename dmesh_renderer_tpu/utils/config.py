@@ -19,7 +19,11 @@ TILE_X = 16
 TILE_Y = 16
 
 # Fixed-point subpixel resolution of the coverage test
-# (reference: cuda_rasterizer/auxiliary.h:190).
+# (reference: cuda_rasterizer/auxiliary.h:190). NOT a free knob: 16 is
+# the reference's coverage-parity contract, and the Pallas kernels'
+# pixel-coordinate tables and the exact-emission interval margins bake
+# the same 16x (+8 half-pixel) fixed-point scale as literals
+# (tri_binned._pixel_coords, binning._row_tile_interval).
 SUBPIXEL = 16.0
 
 # Number of color channels (reference: cuda_rasterizer/config.h:4).

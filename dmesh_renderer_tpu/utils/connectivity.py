@@ -45,16 +45,21 @@ def build_tet_connectivity(tets: np.ndarray):
     faces = cand_flat[first_idx].astype(np.int32)  # original corner order
     tet_faces = inverse.reshape(T, 4).astype(np.int32)
 
-    face_tets = np.full((F, 2), -1, np.int32)
-    counts = np.zeros(F, np.int64)
     owner = np.repeat(np.arange(T, dtype=np.int64), 4)
-    for fid, tid in zip(inverse, owner):
-        c = counts[fid]
-        if c < 2:
-            face_tets[fid, c] = tid
-        counts[fid] = c + 1
+    counts = np.bincount(inverse, minlength=F)
     if (counts > 2).any():
         raise ValueError("non-manifold tessellation: face shared by >2 tets")
+    # group incidences by face (stable sort keeps flat = tet-major order,
+    # matching the first-two-owners-in-tet-order contract of the native
+    # builder); rank-within-group selects each face's first two owners
+    order = np.argsort(inverse, kind="stable")
+    fid_s = inverse[order]
+    own_s = owner[order]
+    start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(4 * T, dtype=np.int64) - start[fid_s]
+    face_tets = np.full((F, 2), -1, np.int32)
+    sel = rank < 2
+    face_tets[fid_s[sel], rank[sel]] = own_s[sel]
 
     return faces, face_tets, tet_faces
 

@@ -28,12 +28,17 @@ from ..ops.geometry import preprocess_faces, project_verts
 
 
 def tri_render_stats(verts, faces, mv_t, proj_t, height, width,
-                     tile: int = 32, kcap: int | None = None) -> dict:
+                     tile: int | None = None,
+                     kcap: int | None = None) -> dict:
     """Binning statistics for a tri scene (host-side, not jitted).
 
     Returns dict with num_rendered, overflow, per-tile count mean/max, and
     the culled-face fraction per view.
     """
+    if tile is None:
+        # default to the production kernel's tile so the stats match what
+        # the render actually builds
+        from ..ops.tri_binned import TILE as tile
     B = mv_t.shape[0]
     gx = (width + tile - 1) // tile
     gy = (height + tile - 1) // tile

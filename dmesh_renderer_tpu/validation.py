@@ -42,6 +42,11 @@ def check_tri_inputs(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     _chk(faces_intense.shape == (B, F),
          f"faces_intense must be [B,F]=({B},{F}), got {faces_intense.shape}")
     _chk(bg.shape == (3,), f"bg must be [3], got {bg.shape}")
+    # the binned paths carry face ids in exact-f32 attr columns
+    # (tri_binned._FID; tet mega table): ids must stay under 2^24
+    _chk(F < (1 << 24),
+         f"at most 2^24-1 faces supported (ids ride in f32-exact columns "
+         f"of the binned pipelines), got F={F}")
 
 
 def check_tet_inputs(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
@@ -57,3 +62,7 @@ def check_tet_inputs(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
          f"face_tets must be [F,2]=({F},2), got {face_tets.shape}")
     _chk(tet_faces.shape == (T, 4),
          f"tet_faces must be [T,4]=({T},4), got {tet_faces.shape}")
+    # tet ids ride in f32-exact march-table columns (tet._march_tables)
+    _chk(T < (1 << 24),
+         f"at most 2^24-1 tets supported (ids ride in f32-exact march "
+         f"tables), got T={T}")
