@@ -194,6 +194,60 @@ def test_tet_sharded_step_matches_single_device(seed):
     assert float(loss) < float(loss8)
 
 
+def test_tet_sharded_fallback_with_jitter_matches(monkeypatch):
+    """The marching-backward FALLBACK (walks deeper than the replay log)
+    regenerates rays; under sharding with jittered rays it must draw the
+    same global-view jitter fields the forward used. Force the fallback by
+    shrinking LOG_CAP and check sharded == single-device."""
+    import dmesh_renderer_tpu.ops.tet as tet_mod
+    from dmesh_renderer_tpu.models.dmesh import (
+        TetGeometry, TetScene, TetViewBatch, init_tet_train_state,
+        make_tet_train_step,
+    )
+    from dmesh_renderer_tpu.utils.connectivity import (
+        build_tet_connectivity, freudenthal_grid,
+    )
+
+    monkeypatch.setattr(tet_mod, "LOG_CAP", 2)
+    Ht = Wt = 16
+    Bt = 8
+    verts, tets = freudenthal_grid(2, jitter=0.05, seed=9)
+    faces, face_tets, tet_faces = build_tet_connectivity(tets)
+    rng = np.random.RandomState(1)
+    geom = TetGeometry(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(tets),
+        jnp.asarray(face_tets), jnp.asarray(tet_faces),
+    )
+    scene = TetScene(
+        jnp.asarray(rng.rand(verts.shape[0], 3).astype(np.float32)),
+        jnp.asarray(rng.uniform(0.3, 0.9,
+                                faces.shape[0]).astype(np.float32)),
+    )
+    mv, proj = scenes.ring_cameras(Bt, radius=3.0)
+    mv_t = np.swapaxes(mv, 1, 2).copy()
+    proj_t = np.swapaxes(proj, 1, 2).copy()
+    batch = TetViewBatch(
+        jnp.asarray(mv_t), jnp.asarray(proj_t),
+        jnp.asarray(np.linalg.inv(mv_t)), jnp.asarray(np.linalg.inv(proj_t)),
+        jnp.asarray(rng.uniform(0.5, 1.0,
+                                (Bt, faces.shape[0])).astype(np.float32)),
+        jnp.full((Bt, 3, Ht, Wt), 0.4, jnp.float32),
+    )
+    bg = jnp.zeros(3, jnp.float32)
+    opt = optax.sgd(1e-2)
+
+    step1 = make_tet_train_step(opt, geom, bg, Ht, Wt, mesh=None, seed=3)
+    st1, loss1 = step1(init_tet_train_state(scene, opt), batch)
+    mesh = make_view_mesh(8)
+    step8 = make_tet_train_step(opt, geom, bg, Ht, Wt, mesh=mesh, seed=3)
+    st8, loss8 = step8(init_tet_train_state(scene, opt),
+                       shard_view_batch(mesh, batch))
+    assert np.isclose(float(loss1), float(loss8), rtol=2e-5)
+    for a, b in zip(st1.scene, st8.scene):
+        np.testing.assert_allclose(np.array(a), np.array(b), rtol=2e-5,
+                                   atol=1e-7)
+
+
 def test_view_params_state_accepted_under_mesh(setup):
     """TrainState.view_params advertises '(verts_depth, faces_intense) if
     learned, or None'; the mesh path's in_shardings must accept BOTH (the
