@@ -103,6 +103,37 @@ def test_wide_reduce_path_matches_oracle(args, monkeypatch):
         assert err < 1e-4, f"{name}: rel Linf {err}"
 
 
+def test_recompute_bwd_attrs_matches_oracle(args, monkeypatch):
+    """RECOMPUTE_BWD_ATTRS=True drops the [cap, 128] slot table from the
+    custom_vjp residuals and rebuilds it in the backward (memory/time
+    trade); gradients must be identical to the residual-saving default."""
+    import dmesh_renderer_tpu.ops.tri_binned as tb
+
+    monkeypatch.setattr(tb, "RECOMPUTE_BWD_ATTRS", True)
+    rng = np.random.RandomState(11)
+    wc = jnp.asarray(rng.randn(B, 3, H, W).astype(np.float32))
+    wd = jnp.asarray(rng.randn(B, 1, H, W).astype(np.float32))
+
+    def loss(render):
+        def fn(verts, vcolor, fop, vdepth, fint):
+            c, d = render(
+                verts, args[1], vcolor, fop, args[4], args[5], args[6],
+                args[7], vdepth, fint, args[10], H, W,
+            )
+            return jnp.sum(c * wc) + jnp.sum(d * wd)
+        return fn
+
+    diff_args = (args[0], args[2], args[3], args[8], args[9])
+    g_o = jax.grad(loss(render_tri_oracle),
+                   argnums=tuple(range(5)))(*diff_args)
+    g_b = jax.grad(loss(render_tri_binned),
+                   argnums=tuple(range(5)))(*diff_args)
+    for a, b in zip(g_o, g_b):
+        a, b = np.array(a, np.float64), np.array(b, np.float64)
+        scale = max(1.0, np.abs(a).max())
+        assert np.abs(a - b).max() / scale < 1e-4
+
+
 def test_overflow_flag_surfaces(args):
     """with_aux must report overflow=True and the true emitted total when
     keys are dropped, and overflow=False at ample capacity."""
