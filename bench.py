@@ -232,7 +232,38 @@ def bench_sharded_smoke(n_tris=512, height=128, width=128):
     return err
 
 
+def _backend_watchdog(timeout_s=600):
+    """The axon remote backend can HANG (not fail) in make_c_api_client
+    when its tunnel is down (observed 2026-08-17, >4 h outage). Probe
+    device init on a daemon thread; on timeout emit an error JSON line --
+    the driver must receive ONE line, never an infinite hang."""
+    import os
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+
+        ok.append(str(jax.devices()[0]))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok:
+        print(json.dumps({
+            "metric": "tri_fwd_bwd_ms_per_frame_100k_tris_800px",
+            "value": -1.0,
+            "unit": "ms/frame",
+            "vs_baseline": 0.0,
+            "error": (f"backend init hang (> {timeout_s}s): the axon TPU "
+                      "tunnel is down; no measurement possible"),
+        }))
+        os._exit(3)
+
+
 def main():
+    _backend_watchdog()
     ms = bench_tri_scaled()
     vs = 1.0 if BENCH_HISTORY_MS is None else BENCH_HISTORY_MS / ms
     result = {
