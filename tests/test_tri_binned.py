@@ -103,6 +103,44 @@ def test_wide_reduce_path_matches_oracle(args, monkeypatch):
         assert err < 1e-4, f"{name}: rel Linf {err}"
 
 
+def test_exact_emission_matches_bbox_renders(args, monkeypatch):
+    """Exact-coverage emission culls only (face, tile) pairs that cover no
+    pixel, so full renders AND all five gradients must be identical (not
+    just close) to the bbox-rect emission the reference uses
+    (rasterizer_impl.cu:44-97): per-tile face order is the same and the
+    culled pairs never blend."""
+    import dmesh_renderer_tpu.ops.tri_binned as tb
+    from dmesh_renderer_tpu.ops import binning
+
+    real = binning.emit_and_sort
+
+    def bbox_only(pre, gx, gy, kcap, sort_by="depth", tile_px=None):
+        return real(pre, gx, gy, kcap, sort_by=sort_by, tile_px=None)
+
+    def run():
+        rng = np.random.RandomState(21)
+        wc = jnp.asarray(rng.randn(B, 3, H, W).astype(np.float32))
+        wd = jnp.asarray(rng.randn(B, 1, H, W).astype(np.float32))
+
+        def fn(verts, vcolor, fop, vdepth, fint):
+            c, d = render_tri_binned(
+                verts, args[1], vcolor, fop, args[4], args[5], args[6],
+                args[7], vdepth, fint, args[10], H, W,
+            )
+            return jnp.sum(c * wc) + jnp.sum(d * wd)
+
+        da = (args[0], args[2], args[3], args[8], args[9])
+        c, d = render_tri_binned(*args, H, W)
+        g = jax.grad(fn, argnums=tuple(range(5)))(*da)
+        return [np.array(x) for x in (c, d) + g]
+
+    out_exact = run()
+    monkeypatch.setattr(tb, "emit_and_sort", bbox_only)
+    out_bbox = run()
+    for a, b in zip(out_exact, out_bbox):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_recompute_bwd_attrs_matches_oracle(args, monkeypatch):
     """RECOMPUTE_BWD_ATTRS=True drops the [cap, 128] slot table from the
     custom_vjp residuals and rebuilds it in the backward (memory/time
