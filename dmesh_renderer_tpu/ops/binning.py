@@ -203,16 +203,6 @@ def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
     that degrades most gracefully.) A face straddling the cut keeps the
     row-major head of its tile rect.
     """
-    # exact-coverage emission packs (slot offset << 10 | chunk) into the
-    # int32 forward fills, so the slot capacity must fit 2^21; beyond that
-    # (huge single-chip multi-view runs) fall back to bbox emission -- the
-    # sharded path (shard_map over views) keeps per-device capacities
-    # small and stays on the exact path
-    if (tile_px is not None and "edge_a" in pre and kcap < (_MAX_BF << 1)
-            and grid_x <= 1023 and grid_y <= 1023
-            and pre["tiles"].size > 0):
-        return _emit_exact(pre, grid_x, grid_y, kcap, sort_by, tile_px)
-
     tiles = pre["tiles"]  # [B, F]
     B, F = tiles.shape
     n_tiles = grid_x * grid_y
@@ -220,16 +210,26 @@ def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
         raise ValueError(
             f"B*F = {B * F} exceeds the 2^21 emission-rank budget of the "
             "packed forward fill; shard views or faces first")
+    if grid_x > 1023 or grid_y > 1023:
+        # BOTH paths pack tile-rect coords into 10-bit fields; beyond that
+        # tile ids would silently corrupt (images ~32k px per side at
+        # 32-px tiles) -- raise like the emission-rank guard does
+        raise ValueError(
+            f"tile grid {grid_x}x{grid_y} exceeds the 10-bit packed-rect "
+            "budget (1023 per axis); render in crops or shard the image")
+
+    # exact-coverage emission packs (slot offset << 10 | chunk) into the
+    # uint32 forward fills, so the slot capacity must fit 2^22; beyond that
+    # (huge single-chip multi-view runs) fall back to bbox emission -- the
+    # sharded path (shard_map over views) keeps per-device capacities
+    # small and stays on the exact path
+    if (tile_px is not None and "edge_a" in pre and kcap < (_MAX_BF << 1)
+            and tiles.size > 0):
+        return _emit_exact(pre, grid_x, grid_y, kcap, sort_by, tile_px)
 
     # --- per-view face pre-sort by depth (F-scale: ~100x cheaper than the
     # slot-scale sort it replaces as a depth key) ---
-    depth = pre["min_depth" if sort_by == "min_depth" else "depth"]
-    sort_key = jnp.where(tiles > 0, depth, jnp.float32(jnp.inf))
-    iota_f = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None], (B, F))
-    _, sigma_v = lax.sort((sort_key, iota_f), dimension=1, num_keys=1,
-                          is_stable=True)  # [B, F] per-view face order
-    sigma = (sigma_v
-             + jnp.arange(B, dtype=jnp.int32)[:, None] * F).reshape(-1)
+    sigma_v, sigma = _depth_presort(pre, tiles, sort_by)
 
     tiles_s = jnp.take_along_axis(tiles, sigma_v, axis=1).reshape(-1)
     incl = jnp.cumsum(tiles_s)
@@ -278,8 +278,32 @@ def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
     b = bf // F
     tile_key = jnp.where(in_range, b * n_tiles + tile_id, big)
 
-    # single-key stable sort: within-tile depth order is inherited from the
-    # emission order (faces pre-sorted by depth)
+    return _sort_and_ranges(tile_key, bf, sigma, B, F, n_tiles, total,
+                            total > kcap)
+
+
+def _depth_presort(pre: dict, emit_counts: Array, sort_by: str):
+    """Per-view face pre-sort by depth (stable; equal depths keep face
+    order -- the reference's stable (tile, depth) radix-sort parity
+    argument in the module docstring relies on this). Shared by both
+    emission paths so the tie-break can never drift between them."""
+    B, F = emit_counts.shape
+    depth = pre["min_depth" if sort_by == "min_depth" else "depth"]
+    sort_key = jnp.where(emit_counts > 0, depth, jnp.float32(jnp.inf))
+    iota_f = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None], (B, F))
+    _, sigma_v = lax.sort((sort_key, iota_f), dimension=1, num_keys=1,
+                          is_stable=True)  # [B, F] per-view face order
+    sigma = (sigma_v
+             + jnp.arange(B, dtype=jnp.int32)[:, None] * F).reshape(-1)
+    return sigma_v, sigma
+
+
+def _sort_and_ranges(tile_key: Array, bf: Array, sigma: Array, B: int,
+                     F: int, n_tiles: int, total: Array,
+                     overflow: Array) -> BinnedKeys:
+    """Single-key stable tile sort + range identification + key-table
+    assembly (shared tail of both emission paths). Within-tile depth order
+    is inherited from the emission order (faces pre-sorted by depth)."""
     tile_key_s, bf_s = lax.sort((tile_key, bf), num_keys=1, is_stable=True)
 
     tids = jnp.arange(B * n_tiles, dtype=jnp.int32)
@@ -298,7 +322,7 @@ def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
         starts=starts,
         ends=ends,
         total=total,
-        overflow=total > kcap,
+        overflow=overflow,
     )
 
 
@@ -330,21 +354,11 @@ def _emit_exact(pre: dict, grid_x: int, grid_y: int, kcap: int,
     tiles = pre["tiles"]  # [B, F] bbox counts (mask only)
     B, F = tiles.shape
     n_tiles = grid_x * grid_y
-    if B * F >= _MAX_BF:
-        raise ValueError(
-            f"B*F = {B * F} exceeds the 2^21 emission-rank budget of the "
-            "packed forward fill; shard views or faces first")
 
     cnt_face = exact_tile_counts(pre, grid_x, grid_y, tile_px)  # [B, F]
 
-    # --- per-view face pre-sort by depth (F-scale) ---
-    depth = pre["min_depth" if sort_by == "min_depth" else "depth"]
-    sort_key = jnp.where(cnt_face > 0, depth, jnp.float32(jnp.inf))
-    iota_f = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None], (B, F))
-    _, sigma_v = lax.sort((sort_key, iota_f), dimension=1, num_keys=1,
-                          is_stable=True)
-    sigma = (sigma_v
-             + jnp.arange(B, dtype=jnp.int32)[:, None] * F).reshape(-1)
+    # --- per-view face pre-sort by depth (F-scale; shared helper) ---
+    sigma_v, sigma = _depth_presort(pre, cnt_face, sort_by)
 
     # pack the 14 per-face columns BEFORE permuting (stacking is
     # elementwise; row ops are per-ROW-priced regardless of width, so 14
@@ -426,24 +440,8 @@ def _emit_exact(pre: dict, grid_x: int, grid_y: int, kcap: int,
     b = bf // F
     tile_key = jnp.where(in_range, b * n_tiles + tile_id, big)
 
-    tile_key_s, bf_s = lax.sort((tile_key, bf), num_keys=1, is_stable=True)
-
-    tids = jnp.arange(B * n_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(tile_key_s, tids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(tile_key_s, tids, side="right").astype(jnp.int32)
-
-    orig = sigma[bf_s]
-    return BinnedKeys(
-        sorted_id=bf_s.astype(jnp.int32),
-        sigma=sigma.astype(jnp.int32),
-        face=(orig % F).astype(jnp.int32),
-        batch=(orig // F).astype(jnp.int32),
-        tile_key=tile_key_s,
-        starts=starts,
-        ends=ends,
-        total=total,
-        overflow=(total > kcap) | row_overflow,
-    )
+    return _sort_and_ranges(tile_key, bf, sigma, B, F, n_tiles, total,
+                            (total > kcap) | row_overflow)
 
 
 def default_key_capacity(B: int, F: int, avg_tiles_per_face: int = 16) -> int:

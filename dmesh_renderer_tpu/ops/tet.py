@@ -52,7 +52,7 @@ import numpy as np
 from jax import lax
 
 from ..utils.config import DEFAULT_MAX_MARCH_STEPS, T_EPS, TILE_X, TILE_Y
-from .binning import _relayout
+from .binning import _gather_cols, _relayout
 from .geometry import (
     clamp_w,
     preprocess_faces,
@@ -308,11 +308,6 @@ def _flat_cols(rows: Array, k: int) -> list:
     return [r[:, c, :].reshape(m) for c in range(k)]
 
 
-def _gather_cols(tab: Array, idx: Array, k: int) -> list:
-    """Row-gather [len(idx), k] from tab and split into clean columns."""
-    return _flat_cols(tab[idx], k)
-
-
 def _per_view(coef_b: Array, n: int, m: int) -> Array:
     """Broadcast a per-view scalar [B] to the flattened padded ray buffer
     [m] (views are contiguous n-blocks; padding lanes get view B-1's
@@ -438,7 +433,6 @@ def _connectivity_step(pcol, cf, ox, oy, oz, dx, dy, dz, direction):
 # no-next-tet check) needs its shade columns.
 (_K_T, _K_U, _K_V, _K_CF, _K_CT, _K_LOGT, _K_TCUR, _K_PLT, _K_CR, _K_CG,
  _K_CB, _K_D, _K_LF, _K_LT, _K_NC, _K_ACT, _K_DONE, _K_GT) = range(18)
-_NSF = 17   # rows carried by the legacy marching-backward state
 _NSF2 = 18  # forward state rows (incl. _K_GT)
 
 # Forward march log rows, one slab per global step (the backward REPLAYS
@@ -899,13 +893,17 @@ def _compacted_while(state_t, consts_t, fbase, globals_, step_fn, max_steps,
         _cf, ct = ids(st)
         key = jnp.where(done, jnp.int32(2**30), jnp.maximum(ct, 0))
         idx = jnp.argsort(key, stable=True)[:sizes[level + 1]]
-        rows = _unpack_rows(st, ns)
-        sub_st = _pack_rows([r[idx] for r in rows])
-        sub_cst = _pack_rows([r[idx] for r in _unpack_rows(cst, nc)])
+        # packed row-gather/scatter: row ops are per-ROW priced, so the
+        # whole [M_k, ns] state moves through ONE gather (and one scatter
+        # on unwind) instead of ns separate 1-D ones -- the same fused
+        # idiom as _phased_fwd_march
+        st_rows = _to_rows(st)      # [M, ns]
+        cst_rows = _to_rows(cst)    # [M, nc]
+        sub_st = _relayout(st_rows[idx], ns)
+        sub_cst = _relayout(cst_rows[idx], nc)
         sub_st, gl = run(sub_st, sub_cst, fb[idx], gl, level + 1)
-        sub_rows = _unpack_rows(sub_st, ns)
-        rows = [full.at[idx].set(sub) for full, sub in zip(rows, sub_rows)]
-        return _pack_rows(rows), gl
+        res_rows = st_rows.at[idx].set(_to_rows(sub_st))
+        return _relayout(res_rows, ns), gl
 
     return run(state_t, consts_t, fbase, globals_, 0)
 
@@ -979,7 +977,6 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
     M0 = B * N
     pad = (-M0) % 128
     M = M0 + pad
-    F = faces.shape[0]
 
     def flat(x, fill=0):
         x = x.reshape((M0,) + x.shape[2:])

@@ -325,6 +325,50 @@ def test_replay_survivor_overflow_fallback_identical():
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_marching_fallback_with_compaction_matches(monkeypatch):
+    """The marching-backward fallback's active-ray compaction
+    (_compacted_while) moves state through packed row gathers/scatters;
+    forcing BOTH the fallback (small LOG_CAP) and compaction (small
+    COMPACT_MIN_SIZE) must reproduce the replay path's gradients."""
+    import dmesh_renderer_tpu.ops.tet as tet_mod
+    from dmesh_renderer_tpu.utils.connectivity import freudenthal_grid
+
+    verts, tets = freudenthal_grid(2, jitter=0.05, seed=3)
+    faces, face_tets, tet_faces = build_tet_connectivity(tets)
+    rng = np.random.RandomState(1)
+    vcolor = rng.rand(verts.shape[0], 3).astype(np.float32)
+    fopacity = rng.uniform(0.2, 0.6, faces.shape[0]).astype(np.float32)
+    fintense = np.ones((1, faces.shape[0]), np.float32)
+    mv, proj = scenes.ring_cameras(1, radius=3.0)
+    mv_t = np.swapaxes(mv, 1, 2).copy()
+    proj_t = np.swapaxes(proj, 1, 2).copy()
+    h = w = 32
+    bg = jnp.asarray(np.array([0.1, 0.2, 0.3], np.float32))
+    args = tuple(map(jnp.asarray, (
+        verts, faces, vcolor, fopacity, mv_t, proj_t,
+        np.linalg.inv(mv_t), np.linalg.inv(proj_t), fintense,
+        tets, face_tets, tet_faces,
+    )))
+
+    def grads():
+        def loss(vc, fo):
+            c, d, _act = render_tet_core(
+                args[0], args[1], vc, fo, args[4], args[5], args[6],
+                args[7], args[8], args[9], args[10], args[11], bg, h, w, 0)
+            return jnp.sum(c * c) + jnp.sum(d)
+
+        return jax.tree.map(
+            np.array, jax.grad(loss, argnums=(0, 1))(args[2], args[3]))
+
+    g_replay = grads()
+    monkeypatch.setattr(tet_mod, "LOG_CAP", 2)          # force fallback
+    monkeypatch.setattr(tet_mod, "COMPACT_MIN_SIZE", 128)  # force compaction
+    assert tet_mod._march_phase_sizes(1024) == [1024, 128]
+    g_march = grads()
+    for a, b in zip(g_replay, g_march):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-7)
+
+
 def test_phased_march_matches_single_phase():
     """Forcing the compacted tail phases on a small scene must reproduce
     the single-phase march: images/active bit-identical (the per-ray blend
