@@ -54,6 +54,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..utils.config import SUBPIXEL
+
 Array = jax.Array
 
 # The slot->rect forward fill packs (face-emission-rank << 10 | rect chunk)
@@ -162,11 +164,33 @@ def _row_tile_interval(ea, eb, ec, rx, nx, tyf, tile_px, grid_x):
     return lof, cnt
 
 
+def _edge_wrap_risk(pre: dict, grid_x: int, grid_y: int,
+                    tile_px: int) -> Array:
+    """[B, F] bool: True when a face's coverage edge function s = A px +
+    B py + C can exceed int32 range somewhere on the tile grid. in_tri
+    (and the CUDA reference, auxiliary.h:179-243) evaluate s in WRAPPING
+    int32 arithmetic; the interval culling below reasons about TRUE signs,
+    so for these faces (vertices projected near the w=0 plane blow up the
+    coefficients) the cull could drop tiles the wrapped test covers --
+    they must emit their full bbox rect instead. Conservative f32 bound
+    with margin (2^30 vs the true 2^31)."""
+    s_max = jnp.float32(SUBPIXEL * tile_px * max(grid_x, grid_y))
+    m = jnp.zeros(pre["tiles"].shape, jnp.float32)
+    for e in range(3):
+        m = jnp.maximum(
+            m,
+            (jnp.abs(pre["edge_a"][e].astype(jnp.float32))
+             + jnp.abs(pre["edge_b"][e].astype(jnp.float32))) * s_max
+            + jnp.abs(pre["edge_c"][e].astype(jnp.float32)))
+    return m >= jnp.float32(2.0 ** 30)
+
+
 def exact_tile_counts(pre: dict, grid_x: int, grid_y: int,
                       tile_px: int) -> Array:
     """Exact-coverage emission counts per (view, face): the number of
     bbox-rect tiles whose conservative corner test passes (the counts the
-    exact emission path uses). [B, F] int32."""
+    exact emission path uses; wrap-risk faces count their full bbox rect,
+    see _edge_wrap_risk). [B, F] int32."""
     eA = [a.astype(jnp.float32)[None] for a in pre["edge_a"]]
     eB = [b.astype(jnp.float32)[None] for b in pre["edge_b"]]
     eC = [c.astype(jnp.float32)[None] for c in pre["edge_c"]]
@@ -178,6 +202,8 @@ def exact_tile_counts(pre: dict, grid_x: int, grid_y: int,
     r = jnp.arange(grid_y, dtype=jnp.int32)[:, None, None]
     tyf = (ry + r).astype(jnp.float32)
     _lo, cnt = _row_tile_interval(eA, eB, eC, rx, nx, tyf, tile_px, grid_x)
+    risk = _edge_wrap_risk(pre, grid_x, grid_y, tile_px)
+    cnt = jnp.where(risk[None], nx, cnt)
     cnt = jnp.where(r < ny, cnt, 0.0)
     total = jnp.sum(cnt, axis=0).astype(jnp.int32)
     return jnp.where(
@@ -374,17 +400,18 @@ def _emit_exact(pre: dict, grid_x: int, grid_y: int, kcap: int,
            f32(pre["rect_max"][..., 0] - pre["rect_min"][..., 0]),
            f32(pre["rect_min"][..., 1]),
            f32(pre["rect_max"][..., 1] - pre["rect_min"][..., 1]),
+           f32(_edge_wrap_risk(pre, grid_x, grid_y, tile_px)),
            f32(cnt_face)],
         axis=-1,
-    ).reshape(B * F, 14)  # A(3) B(3) C(3) rx nx ry ny cnt
+    ).reshape(B * F, 15)  # A(3) B(3) C(3) rx nx ry ny risk cnt
     rows_s = base[sigma]  # ONE row-gather into depth-sorted order
-    ftab = rows_s[:, :13]
+    ftab = rows_s[:, :14]
     if (B * F) % 128 == 0 and B * F >= 128:
-        rs = _relayout(rows_s, 14)
+        rs = _relayout(rows_s, 15)
         col = lambda c: rs[:, c, :].reshape(B * F)
     else:
         col = lambda c: rows_s[:, c]
-    cnt_s = col(13).astype(jnp.int32)
+    cnt_s = col(14).astype(jnp.int32)
 
     # --- run (face, rect-row) table ---
     ny_eff = jnp.where(cnt_s > 0, col(12).astype(jnp.int32), 0)
@@ -400,10 +427,14 @@ def _emit_exact(pre: dict, grid_x: int, grid_y: int, kcap: int,
     run_rowstart = _fill_from_boundaries(qmark, row_excl, nr_cap)
     ridx = jnp.arange(nr_cap, dtype=jnp.int32) - run_rowstart
 
-    fc = _gather_cols(ftab, runq, 13)
+    fc = _gather_cols(ftab, runq, 14)
     tyf = fc[11] + ridx.astype(jnp.float32)
     lo_f, cnt_f = _row_tile_interval(
         fc[0:3], fc[3:6], fc[6:9], fc[9], fc[10], tyf, tile_px, grid_x)
+    # wrap-risk faces (col 13) skip the interval cull: full bbox row
+    # (their int32 edge functions wrap; see _edge_wrap_risk)
+    lo_f = jnp.where(fc[13] > 0.0, fc[9], lo_f)
+    cnt_f = jnp.where(fc[13] > 0.0, fc[10], cnt_f)
     run_ok = ((jnp.arange(nr_cap, dtype=jnp.int32)
                < jnp.minimum(rtotal, nr_cap))
               & (ridx.astype(jnp.float32) < fc[12]))

@@ -1547,7 +1547,10 @@ def render_tet_core(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     face_tets [F,2], tet_faces [T,4], bg [3].
 
     Returns (color [B,3,H,W], depth [B,1,H,W], active [B,H,W] bool).
-    Gradients flow only to verts_color and faces_opacity.
+    Gradients flow only to verts_color and faces_opacity (the reference's
+    exact gradient surface, render.h:84-111); every other input -- incl.
+    ``bg`` -- gets a zero gradient, as the reference's autograd Function
+    does.
 
     ``kcap``: static (face, tile) key capacity of the binned first-hit
     (None = heuristic). ``with_aux=True`` additionally returns

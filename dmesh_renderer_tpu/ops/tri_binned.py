@@ -92,27 +92,29 @@ REC_COLS = NG // REC_PER_ROW  # = 32 columns per record (NG_USED=22 used)
 # everything into a single row halves both the gather and the slab-DMA
 # count vs the round-1/2 split f32 + i32 tables.
 #
-# Integer attributes ride in f32 columns: the edge A/B coefficients are
-# small coordinate differences (|.| < 2^14), f32-exact as stored; only the
-# C constants (|.| < 2^28, exceeding f32's 2^24 integer range) are split
-# into an arithmetic high part (C >> 12, always f32-exact) and a low part
-# (C & 0xFFF) and reassembled with scalar int ops in-kernel (Mosaic
-# supports scalar f32->i32 converts, but not scalar bitcasts); small ints
-# (flag, face id) are stored directly as exact floats.
+# Integer attributes ride in f32 columns: every int32 edge coefficient is
+# split into an arithmetic high part (x >> 12, always f32-exact) and a low
+# part (x & 0xFFF) and reassembled with scalar int ops in-kernel (Mosaic
+# supports scalar f32->i32 converts, but not scalar bitcasts) -- exact for
+# ANY int32, so the kernel's edge functions wrap mod 2^32 exactly like
+# in_tri even for near-plane faces whose projected coords blow the
+# coefficients past 2^24 (a plain-f32 A/B encoding measurably broke
+# coverage parity there); small ints (flag, face id) are stored directly
+# as exact floats.
 _TV, _E1, _E2, _QV = 0, 3, 6, 9
 _C0 = 12           # c0 rgb, c1 rgb, c2 rgb
 _D0 = 21           # d0 d1 d2
 _ALPHA, _INTEN = 24, 25
 _MIND, _MAXD = 26, 27  # per-face min/max depth keys (tet first-hit window)
-# Edge coefficients: A/B are coordinate differences (|.| <= 16*dim
-# < 2^14), f32-exact as-is; only the C constants (|.| < 2^28) need the
-# split-half encoding. Storing A/B plain saves 6 scalar SMEM loads,
-# 9 converts and 6 scalar int ops per face-visit in both tile kernels.
-_EAB = 28          # A1 A2 A3 B1 B2 B3, exact f32
-_ECH = 34          # C high parts (C >> 12), 3 cols
-_ECL = 37          # C low parts (C & 0xFFF), 3 cols
-_NONDEG = 40       # 0.0 / 1.0 flag
-_FID = 41          # face id (tet first-hit output; ids < 2^24)
+# Edge coefficients, split-half encoded (exact for any int32 -- see the
+# layout comment above; A/B exceed 2^24 for faces with near-plane
+# vertices, where the plain-f32 encoding broke oracle parity):
+_EABH = 28         # high parts (x >> 12): A1 A2 A3 B1 B2 B3
+_EABL = 34         # low parts (x & 0xFFF), 6 cols
+_ECH = 40          # C high parts (C >> 12), 3 cols
+_ECL = 43          # C low parts (C & 0xFFF), 3 cols
+_NONDEG = 46       # 0.0 / 1.0 flag
+_FID = 47          # face id (tet first-hit output; ids < 2^24)
 
 NG_USED = 22       # gradient-record columns actually written
 
@@ -197,24 +199,25 @@ def _build_face_table(verts, faces, verts_color, faces_opacity,
         img, faces)
 
     fid = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None], (B, F))
-    # A/B coefficients are f32-exact as-is (coordinate differences,
-    # |.| < 2^14); C uses the split-halves encoding: C == (C >> 12) * 4096
-    # + (C & 0xFFF) for any int32 (|C >> 12| < 2^19, low in [0, 4096))
+    # split-halves encoding for ALL edge coefficients: x == (x >> 12) *
+    # 4096 + (x & 0xFFF) for any int32 (arithmetic shift; high f32-exact
+    # since |x >> 12| < 2^19, low in [0, 4096))
     ab = jnp.stack([A1, A2, A3, B1, B2, B3], axis=-1)
     cc = jnp.stack([C1, C2, C3], axis=-1)
     icols = jnp.concatenate(
         [
-            ab.astype(jnp.float32),
+            (ab >> 12).astype(jnp.float32),
+            (ab & 0xFFF).astype(jnp.float32),
             (cc >> 12).astype(jnp.float32),
             (cc & 0xFFF).astype(jnp.float32),
             nondeg.astype(jnp.float32)[..., None],
             fid.astype(jnp.float32)[..., None],
         ],
         axis=-1,
-    )  # [B, F, 14] (_EAB.._FID)
+    )  # [B, F, 20] (_EABH.._FID)
 
     nf = fcols.shape[-1]
-    fcols = jnp.pad(fcols, ((0, 0), (0, 0), (0, _EAB - nf)))  # ints at _EAB
+    fcols = jnp.pad(fcols, ((0, 0), (0, 0), (0, _EABH - nf)))  # ints at _EABH
     cols = jnp.concatenate([fcols, icols], axis=-1)
     nc = cols.shape[-1]
     return jnp.pad(cols.reshape(B * F, nc), ((0, 0), (0, NA - nc)))
@@ -290,8 +293,10 @@ def _face_scalars(fslab, j):
             v
             for e in range(3)
             for v in (
-                fslab[j, _EAB + e].astype(jnp.int32),
-                fslab[j, _EAB + 3 + e].astype(jnp.int32),
+                fslab[j, _EABH + e].astype(jnp.int32) * 4096
+                + fslab[j, _EABL + e].astype(jnp.int32),
+                fslab[j, _EABH + 3 + e].astype(jnp.int32) * 4096
+                + fslab[j, _EABL + 3 + e].astype(jnp.int32),
                 fslab[j, _ECH + e].astype(jnp.int32) * 4096
                 + fslab[j, _ECL + e].astype(jnp.int32),
             )
@@ -328,8 +333,7 @@ def _coverage_and_uv(fs, px, py, dx, dy, dz):
 
     u_c, v_c, code = clamp_bary_uv(u, v)
     i0 = 1.0 - u_c - v_c
-    return (cover & valid, u, v, u_c, v_c, code, i0, u_c, v_c,
-            (Px, Py, Pz, denom))
+    return cover & valid, u, code, i0, u_c, v_c, (Px, Py, Pz, denom)
 
 
 def _interp_scalars(fs, i0, i1, i2):
@@ -346,7 +350,7 @@ def _interp_scalars(fs, i0, i1, i2):
 # Forward kernel
 # =============================================================================
 
-def _fwd_kernel(starts_ref, ends_ref, attr_hbm, rayd_ref,
+def _fwd_kernel(pxmax, pymax, starts_ref, ends_ref, attr_hbm, rayd_ref,
                 pix_ref, out_ref, fslab, semf):
     t = pl.program_id(0)
     start = starts_ref[t]  # slab-aligned (binning.align_to_slabs)
@@ -361,9 +365,13 @@ def _fwd_kernel(starts_ref, ends_ref, attr_hbm, rayd_ref,
 
     shape = dx.shape
     T0 = jnp.ones(shape, jnp.float32)
+    # tile-padding pixels (beyond the image, zeroed rays) can never blend,
+    # so they would pin the all-done early exit off in boundary tiles:
+    # seed them done (their outputs are cropped by _untile anyway)
+    done0 = ((px > pxmax) | (py > pymax)).astype(jnp.int32)
     init = (
         jnp.int32(0),
-        jnp.zeros(shape, jnp.int32),    # done (i32: Mosaic cannot carry i1
+        done0,                          # done (i32: Mosaic cannot carry i1
                                         # vectors through scf loops)
         T0,                             # T
         T0,                             # pT
@@ -393,7 +401,7 @@ def _fwd_kernel(starts_ref, ends_ref, attr_hbm, rayd_ref,
         def face_body(j, st):
             done, T, pT, Cr, Cg, Cb, D, nc = st
             fs = _face_scalars(fslab, j)
-            hitg, _u, _v, _uc, _vc, _code, i0, i1, i2, _mt = _coverage_and_uv(
+            hitg, _u, _code, i0, i1, i2, _mt = _coverage_and_uv(
                 fs, px, py, dx, dy, dz)
             cr, cg, cb, dep = _interp_scalars(fs, i0, i1, i2)
             a = fs["alpha"]
@@ -425,7 +433,11 @@ def _fwd_kernel(starts_ref, ends_ref, attr_hbm, rayd_ref,
     out_ref[0, 6] = nc.astype(jnp.float32)
 
 
-def _run_fwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, n_tiles):
+def _run_fwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, n_tiles,
+                    height, width):
+    # largest in-image fixed-point pixel-center coords (16x + 8)
+    kernel = functools.partial(
+        _fwd_kernel, int((width - 1) * 16 + 8), int((height - 1) * 16 + 8))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -444,7 +456,7 @@ def _run_fwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, n_tiles):
         ],
     )
     return pl.pallas_call(
-        _fwd_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 7, PSUB, PLANE), jnp.float32),
         interpret=_interpret(),
@@ -536,7 +548,7 @@ def _bwd_kernel(starts_ref, ends_ref, attr_hbm, rayd_ref,
         def face_body(jj, st):
             j = rem - 1 - jj  # reverse within slab
             fs = _face_scalars(fslab, j)
-            hitg, u, v, uc, vc, code, i0, i1, i2, mt = _coverage_and_uv(
+            hitg, u, code, i0, i1, i2, mt = _coverage_and_uv(
                 fs, px, py, dx, dy, dz)
             a = fs["alpha"]
             pos = base + j
@@ -800,7 +812,7 @@ def _render_binned_impl(verts, faces, verts_color, faces_opacity, mv_t,
     )
     n_tiles = B * gx * gy
     out = _run_fwd_kernel(keys.starts, keys.ends, attr_tab, rayd_t,
-                          pix_t, n_tiles)
+                          pix_t, n_tiles, height, width)
     img = _untile(out[:, 0:4], B, height, width, gx, gy)  # [B,H,W,4]
     state = _untile(out[:, 4:7], B, height, width, gx, gy)  # T, pT, nc
 
@@ -823,6 +835,20 @@ def _overflow_warning(keys: AlignedKeys, kcap: int) -> None:
                      "render_tri_binned; raise TriRenderSettings.key_capacity")
 
 
+def _resolve_kcap(faces, mv_t, kcap):
+    """Shared empty-scene guard + kcap defaulting: the primal, the VJP
+    forward, and the VJP backward must resolve the SAME capacity (a
+    divergence would mis-size the backward's record buffers)."""
+    if faces.shape[0] == 0:
+        raise ValueError(
+            "render_tri_binned requires at least one face; the strategy "
+            "dispatch (ops.tri.render_tri_auto, used by api.render_tri) "
+            "routes empty/small scenes to the dense oracle path")
+    if kcap is None:
+        kcap = default_key_capacity(mv_t.shape[0], faces.shape[0])
+    return kcap
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
 def render_tri_binned(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
                       inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg,
@@ -842,14 +868,13 @@ def render_tri_binned(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     -> extra output ``(overflow bool[], num_rendered int32[])``, (b) by a
     jax.debug.print warning on callback-capable backends, and (c) via
     utils.diagnostics.tri_render_stats.
+
+    Gradients are defined for verts, verts_color, faces_opacity,
+    verts_depth and faces_intense only -- the reference's exact gradient
+    surface (render.cu:166-171). ``bg`` receives a zero gradient (the
+    reference's autograd Function does not differentiate settings).
     """
-    if faces.shape[0] == 0:
-        raise ValueError(
-            "render_tri_binned requires at least one face; the strategy "
-            "dispatch (ops.tri.render_tri_auto, used by api.render_tri) "
-            "routes empty/small scenes to the dense oracle path")
-    if kcap is None:
-        kcap = default_key_capacity(mv_t.shape[0], faces.shape[0])
+    kcap = _resolve_kcap(faces, mv_t, kcap)
     color, depth, _, keys, _ = _render_binned_impl(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
         inv_proj_t, verts_depth, faces_intense, bg, height, width, kcap,
@@ -863,13 +888,7 @@ def render_tri_binned(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
 def _b_fwd(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
            inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg,
            height, width, kcap, with_aux):
-    if faces.shape[0] == 0:
-        raise ValueError(
-            "render_tri_binned requires at least one face; the strategy "
-            "dispatch (ops.tri.render_tri_auto, used by api.render_tri) "
-            "routes empty/small scenes to the dense oracle path")
-    if kcap is None:
-        kcap = default_key_capacity(mv_t.shape[0], faces.shape[0])
+    kcap = _resolve_kcap(faces, mv_t, kcap)
     color, depth, fwd_state_t, keys, saved = _render_binned_impl(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
         inv_proj_t, verts_depth, faces_intense, bg, height, width, kcap,
@@ -898,8 +917,7 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
         dL_dcolor, dL_ddepth, _aux_cot = cots
     else:
         dL_dcolor, dL_ddepth = cots
-    if kcap is None:
-        kcap = default_key_capacity(mv_t.shape[0], faces.shape[0])
+    kcap = _resolve_kcap(faces, mv_t, kcap)
 
     B = mv_t.shape[0]
     P = verts.shape[0]

@@ -237,6 +237,11 @@ def render_tri_oracle(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
       mv_t/proj_t/inv_mv_t/inv_proj_t [B,4,4] (transposed convention),
       verts_depth [B,P], faces_intense [B,F], bg [3].
     Returns (color [B,3,H,W], depth [B,1,H,W]).
+
+    Gradients are defined for verts, verts_color, faces_opacity,
+    verts_depth and faces_intense only -- the reference's exact gradient
+    surface (render.cu:166-171); ``bg`` gets a zero gradient (the
+    reference's autograd Function does not differentiate settings).
     """
     color, depth, _ = _render_impl(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t,

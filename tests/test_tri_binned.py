@@ -103,6 +103,39 @@ def test_wide_reduce_path_matches_oracle(args, monkeypatch):
         assert err < 1e-4, f"{name}: rel Linf {err}"
 
 
+def test_near_plane_faces_match_oracle():
+    """Vertices projected near the w=0 plane blow the fixed-point edge
+    coefficients past 2^24 and their edge functions past int32 range,
+    where in_tri (and the CUDA reference) WRAP. Round-3 regression: the
+    exact-coverage cull must not trust true-sign intervals there (full
+    bbox emission via _edge_wrap_risk), and the attr table must store A/B
+    split-half exact so the kernel wraps identically to the oracle
+    (plain-f32 A/B measured 0.14 L-inf off on this scene)."""
+    soup = scenes.random_triangle_soup(24, seed=13)
+    mv, proj = scenes.ring_cameras(1, radius=3.0)
+    v = soup["verts"].copy()
+    inv = np.linalg.inv(mv[0])
+    for i, (zv, xv) in enumerate([(1e-4, 0.5), (5e-5, -0.8), (2e-4, 1.2),
+                                  (1e-3, 2.0), (-1e-4, 0.7), (3e-4, -1.5)]):
+        pv = np.array([xv, 0.3 * i - 0.6, zv, 1.0])
+        v[i] = (inv @ pv)[:3]
+    # one vertex far past 2^24 subpixel units
+    v[soup["faces"][6][0]] = (inv @ np.array([30.0, 5.0, 1e-5, 1.0]))[:3]
+    h = w = 48
+    mv_t = np.swapaxes(mv, 1, 2).copy()
+    proj_t = np.swapaxes(proj, 1, 2).copy()
+    vdepth, fintense = scenes.soup_view_attrs(soup, 1, seed=14)
+    bg = np.array([0., 0., 0.], np.float32)
+    a = tuple(map(jnp.asarray, (
+        v, soup["faces"], soup["verts_color"], soup["faces_opacity"],
+        mv_t, proj_t, np.linalg.inv(mv_t), np.linalg.inv(proj_t),
+        vdepth, fintense, bg)))
+    co, do_ = render_tri_oracle(*a, h, w)
+    cb, db = render_tri_binned(*a, h, w)
+    np.testing.assert_allclose(np.array(cb), np.array(co), atol=2e-5)
+    np.testing.assert_allclose(np.array(db), np.array(do_), atol=2e-5)
+
+
 def test_exact_emission_matches_bbox_renders(args, monkeypatch):
     """Exact-coverage emission culls only (face, tile) pairs that cover no
     pixel, so full renders AND all five gradients must be identical (not
