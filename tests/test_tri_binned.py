@@ -103,14 +103,10 @@ def test_wide_reduce_path_matches_oracle(args, monkeypatch):
         assert err < 1e-4, f"{name}: rel Linf {err}"
 
 
-def test_near_plane_faces_match_oracle():
-    """Vertices projected near the w=0 plane blow the fixed-point edge
-    coefficients past 2^24 and their edge functions past int32 range,
-    where in_tri (and the CUDA reference) WRAP. Round-3 regression: the
-    exact-coverage cull must not trust true-sign intervals there (full
-    bbox emission via _edge_wrap_risk), and the attr table must store A/B
-    split-half exact so the kernel wraps identically to the oracle
-    (plain-f32 A/B measured 0.14 L-inf off on this scene)."""
+def _near_plane_scene():
+    """Scene with vertices projected near the w=0 plane: fixed-point edge
+    coefficients past 2^24 and edge functions past int32 range (the
+    _edge_wrap_risk regime). Returns (render args tuple, h, w)."""
     soup = scenes.random_triangle_soup(24, seed=13)
     mv, proj = scenes.ring_cameras(1, radius=3.0)
     v = soup["verts"].copy()
@@ -130,10 +126,51 @@ def test_near_plane_faces_match_oracle():
         v, soup["faces"], soup["verts_color"], soup["faces_opacity"],
         mv_t, proj_t, np.linalg.inv(mv_t), np.linalg.inv(proj_t),
         vdepth, fintense, bg)))
+    return a, h, w
+
+
+def test_near_plane_faces_match_oracle():
+    """Round-3 regression: vertices near the w=0 plane wrap int32 edge
+    functions, where in_tri (and the CUDA reference) WRAP too. The
+    exact-coverage cull must not trust true-sign intervals there (full
+    bbox emission via _edge_wrap_risk), and the attr table must store A/B
+    split-half exact so the kernel wraps identically to the oracle
+    (plain-f32 A/B measured 0.14 L-inf off on this scene)."""
+    a, h, w = _near_plane_scene()
     co, do_ = render_tri_oracle(*a, h, w)
     cb, db = render_tri_binned(*a, h, w)
     np.testing.assert_allclose(np.array(cb), np.array(co), atol=2e-5)
     np.testing.assert_allclose(np.array(db), np.array(do_), atol=2e-5)
+
+
+def test_exact_counts_equal_emission_total_wrap_risk():
+    """The capacity-sizing count pass (exact_tile_counts, the basis of
+    recommended_key_capacity) must equal the emission path's actual total
+    EXACTLY -- including on wrap-risk scenes, where both take the
+    full-bbox branch (_edge_wrap_risk). The bench relies on this: it sizes
+    capacity with a tight margin on the grounds that the count pass is
+    exact for a static scene (the analog of the reference's exact
+    post-readback sizing, rasterizer_impl.cu:287-299). A drift between the
+    two paths would silently drop geometry at tight margins."""
+    from dmesh_renderer_tpu.ops.binning import (
+        _edge_wrap_risk, emit_and_sort, exact_tile_counts,
+    )
+    from dmesh_renderer_tpu.ops.geometry import (
+        preprocess_faces, project_verts,
+    )
+
+    a, h, w = _near_plane_scene()
+    verts, faces, _vc, _fo, mv_t, proj_t, *_ = a
+    gx, gy = (w + 31) // 32, (h + 31) // 32
+    ndc, img = project_verts(verts, mv_t, proj_t, w, h)
+    pre = preprocess_faces(ndc, img, faces, w, h, 32, 32)
+    # the scene must actually exercise the wrap-risk branch
+    assert bool(jnp.any(_edge_wrap_risk(pre, gx, gy, 32)
+                        & (pre["tiles"] > 0)))
+    counts = int(jnp.sum(exact_tile_counts(pre, gx, gy, 32)))
+    keys = emit_and_sort(pre, gx, gy, kcap=1 << 18, tile_px=32)
+    assert int(keys.total) == counts
+    assert not bool(keys.overflow)
 
 
 def test_exact_emission_matches_bbox_renders(args, monkeypatch):
