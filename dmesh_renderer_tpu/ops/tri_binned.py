@@ -53,7 +53,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..utils.config import T_EPS
+from ..utils.config import BIN_TILE, T_EPS
 from .binning import (
     AlignedKeys,
     align_to_slabs,
@@ -72,7 +72,10 @@ from .rays import generate_rays
 
 Array = jax.Array
 
-TILE = 32          # pixels per tile side; 32*32 = 1024 = 8*128 VPU block
+TILE = BIN_TILE    # pixels per tile side; 32*32 = 1024 = 8*128 VPU block.
+                   # Shared with the oracle's rect restriction (config.py):
+                   # near-plane WRAPPED coverage is rect-granularity-
+                   # dependent, so all tri paths must agree on it.
 PSUB, PLANE = 8, 128
 SLAB = 32          # faces per HBM->SMEM DMA slab (sized to scalar memory)
 NA = 128           # attr columns per slot (lane-dim, must be 128)

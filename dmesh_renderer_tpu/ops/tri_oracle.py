@@ -2,10 +2,20 @@
 
 This is both the semantic ground truth for the tile-binned Pallas path and
 the production path for small-to-medium scenes. It reproduces the reference
-pipeline exactly, minus the tile machinery, which does not change the image:
-compositing order is the global (depth key, submission order) sort, and
-per-pixel coverage decides membership -- the per-tile lists of the reference
-are only an acceleration structure.
+pipeline exactly, minus the tile-LIST machinery (compositing order is the
+global (depth key, submission order) sort -- same per-pixel order as the
+reference's per-tile sorted lists). One piece of the tile machinery IS
+semantic and kept: a face is only tested against pixels inside its tile
+bbox rect (duplicateWithKeys emits the face into those tiles only,
+rasterizer_impl.cu:44-97). For ordinary faces the rect is a superset of
+true coverage and the restriction changes nothing, but faces with vertices
+near the w=0 plane overflow the fixed-point edge functions, and the WRAPPED
+int32 in_tri test (auxiliary.h:179-243) can pass at far-away pixels the
+rect never reaches -- the reference (and the binned path here) never test
+those pixels, so the dense path must not cover them either. (Granularity
+caveat: the rect is tile-quantized, 32px here vs 16px in CUDA, so wrapped
+coverage at the rect's edge is tile-size-dependent in the reference
+itself; parity on such pixels is pinned binned==dense, not vs CUDA.)
 
 TPU structure: faces are processed in depth-sorted order in chunks of
 ``CHUNK`` (the analog of the reference's 256-face cooperative shared-memory
@@ -46,7 +56,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..utils.config import T_EPS, TILE_X, TILE_Y
+from ..utils.config import BIN_TILE, T_EPS
 from .geometry import (
     clamp_bary_uv,
     clamp_bary_uv_grad,
@@ -81,7 +91,9 @@ def _prepare(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     ndc, img = project_verts(verts, mv_t, proj_t, width, height)
     ndc = lax.stop_gradient(ndc)
     img = lax.stop_gradient(img)
-    pre = preprocess_faces(ndc, img, faces, width, height, TILE_X, TILE_Y)
+    # BIN_TILE so the rect restriction matches the binned path exactly
+    # (depth keys and culling are tile-size independent)
+    pre = preprocess_faces(ndc, img, faces, width, height, BIN_TILE, BIN_TILE)
 
     sort_key = jnp.where(pre["valid"], pre["depth"], jnp.inf)
     order = jnp.argsort(sort_key, axis=1, stable=True)  # [B, F]
@@ -96,6 +108,8 @@ def _prepare(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     alpha = faces_opacity[order]  # [B, F]
     inten = jnp.take_along_axis(faces_intense, order, axis=1)  # [B, F]
     valid = jnp.take_along_axis(pre["valid"], order, axis=1)  # [B, F]
+    rect = jnp.concatenate([pre["rect_min"], pre["rect_max"]], axis=-1)
+    rect_s = jnp.take_along_axis(rect, order[..., None], axis=1)  # [B, F, 4]
 
     pad = (-F) % CHUNK
     n_chunks = (F + pad) // CHUNK
@@ -115,6 +129,7 @@ def _prepare(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
         "alpha": to_steps(alpha),
         "inten": to_steps(inten),
         "valid": to_steps(valid, fill=False),
+        "rect": to_steps(rect_s),
         "fid": to_steps(order),
         "fv": to_steps(fv),
     }
@@ -150,7 +165,20 @@ def _chunk_terms(xs_c, rays, pixc):
     )  # [K, B, N, 3]
     u_c, v_c, code = clamp_bary_uv(tuv[..., 1], tuv[..., 2])
     i0 = 1.0 - u_c - v_c
-    hit = cov & nondeg & xs_c["valid"][..., None]
+    # tile-rect membership: the reference only tests a face against pixels
+    # of tiles in its bbox rect (see module docstring -- semantic for
+    # int32-wrapping near-plane faces, a no-op for ordinary ones)
+    tile = jnp.stack(
+        [pixc[:, 0] / BIN_TILE, pixc[:, 1] / BIN_TILE], axis=-1
+    ).astype(jnp.int32)  # [N, 2] (pixel centers: floor == index)
+    rect = xs_c["rect"]  # [K, B, 4] (min_x, min_y, max_x, max_y)
+    in_rect = (
+        (tile[None, None, :, 0] >= rect[..., 0:1])
+        & (tile[None, None, :, 0] < rect[..., 2:3])
+        & (tile[None, None, :, 1] >= rect[..., 1:2])
+        & (tile[None, None, :, 1] < rect[..., 3:4])
+    )  # [K, B, N]
+    hit = cov & nondeg & xs_c["valid"][..., None] & in_rect
     return hit, (i0, u_c, v_c), code
 
 

@@ -5,16 +5,28 @@ These mirror the compile-time constants of the reference CUDA implementation
 plain Python constants baked into jit-compiled programs.
 
 Note: unlike CUDA (where the 16x16 tile size is wired into the launch
-geometry), the rendered image is tile-size invariant here -- compositing order
-is decided purely by the (depth key, emission order) sort and the per-pixel
-coverage test -- so TILE_X/TILE_Y are free TPU performance knobs.
+geometry), the rendered image is ALMOST tile-size invariant here --
+compositing order is decided purely by the (depth key, emission order) sort
+and the per-pixel coverage test. The one tile-size-dependent semantic: a
+face is only tested against pixels of tiles in its bbox rect, and for
+near-plane faces whose int32 edge functions WRAP, coverage can pass outside
+the rect -- there the rect granularity decides (see
+ops/tri_oracle.py module docstring). All tri paths therefore share one
+rect granularity, BIN_TILE.
 """
 
 # Transmittance early-exit threshold (reference: cuda_rasterizer/auxiliary.h:8).
 T_EPS = 1e-4
 
-# Tile size used for binning in the scaled (Pallas) path.
-# (reference: cuda_rasterizer/config.h:5-6 uses 16x16.)
+# Tile side of the scaled (Pallas) binned path AND the coverage rect
+# granularity of every tri path: 32*32 px = 1024 = 8*128 lanes, exactly one
+# f32 VPU register block per pixel quantity. (The reference uses 16x16,
+# cuda_rasterizer/config.h:5-6 -- wrapped near-plane coverage at the rect
+# edge is the only place the difference can show; see module docstring.)
+BIN_TILE = 32
+
+# Tile size used by the DENSE tet path's preprocess (depth keys / culling
+# only -- both granularity-independent; the binned paths use BIN_TILE).
 TILE_X = 16
 TILE_Y = 16
 

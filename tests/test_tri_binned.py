@@ -143,6 +143,80 @@ def test_near_plane_faces_match_oracle():
     np.testing.assert_allclose(np.array(db), np.array(do_), atol=2e-5)
 
 
+def test_wrapped_coverage_outside_rect_not_rendered():
+    """Fuzz-found (tools/fuzz_tri_parity.py seed=1000, round 3): a face
+    with a vertex just behind the w=0 plane projects to huge image coords;
+    its int32 edge functions WRAP and in_tri can pass at pixels whose tile
+    is OUTSIDE the face's bbox rect. The reference never tests those
+    pixels (duplicateWithKeys only emits the face into rect tiles,
+    rasterizer_impl.cu:44-97) and neither does the binned path -- the
+    dense oracle must apply the same rect restriction (it rendered 77
+    phantom pixels here, 0.6 L-inf off the binned image, before the fix).
+    """
+    from dmesh_renderer_tpu.ops.geometry import (
+        in_tri, preprocess_faces, project_verts,
+    )
+    from dmesh_renderer_tpu.utils.config import BIN_TILE
+
+    tri = np.array(
+        [[0.456025093793869, -0.7886804938316345, 0.6957451701164246],
+         [4.529575347900391, -0.9736150503158569, -0.21224737167358398],
+         [0.7446367144584656, -0.45834046602249146, 0.3057740330696106]],
+        np.float32)
+    mv_t = np.array(
+        [[[0.29552021622657776, 0.19194255769252777,
+           -0.9358556866645813, 0.0],
+          [0.0, -0.979608416557312, -0.20091617107391357, 0.0],
+          [-0.9553365111351013, 0.059374790638685226,
+           -0.2894940972328186, 0.0],
+          [2.2837982903534224e-16, -1.689350799580926e-17,
+           3.981760025024414, 1.0]]], np.float32)
+    proj_t = np.array(
+        [[[2.4142136573791504, 0.0, 0.0, 0.0],
+          [0.0, 2.4142136573791504, 0.0, 0.0],
+          [0.0, 0.0, 1.0202020406723022, 1.0],
+          [0.0, 0.0, -0.20202019810676575, 0.0]]], np.float32)
+    h, w = 48, 40
+    faces = np.array([[0, 1, 2]], np.int32)
+
+    # premise: wrapped in_tri coverage exists OUTSIDE the tile rect
+    ndc, img = project_verts(jnp.asarray(tri), jnp.asarray(mv_t),
+                             jnp.asarray(proj_t), w, h)
+    pre = preprocess_faces(ndc, img, jnp.asarray(faces), w, h,
+                           BIN_TILE, BIN_TILE)
+    imgn = np.array(img)
+    rmin = np.array(pre["rect_min"])[0, 0]
+    rmax = np.array(pre["rect_max"])[0, 0]
+    ys, xs = np.meshgrid(np.arange(h) + 0.5, np.arange(w) + 0.5,
+                         indexing="ij")
+    pix = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1)
+                      .astype(np.float32))
+    cov = np.array(in_tri(pix, jnp.asarray(imgn[0, 0]),
+                          jnp.asarray(imgn[0, 1]),
+                          jnp.asarray(imgn[0, 2]))).reshape(h, w)
+    py, px = np.where(cov)
+    outside = ((px // BIN_TILE < rmin[0]) | (px // BIN_TILE >= rmax[0])
+               | (py // BIN_TILE < rmin[1]) | (py // BIN_TILE >= rmax[1]))
+    assert outside.sum() > 0, "scene no longer exercises wrapped coverage"
+
+    bg = np.array([0.3, 0.5, 0.7], np.float32)
+    a = tuple(map(jnp.asarray, (
+        tri, faces, np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32),
+        np.array([0.745], np.float32), mv_t, proj_t,
+        np.linalg.inv(mv_t), np.linalg.inv(proj_t),
+        np.full((1, 3), 0.5, np.float32), np.ones((1, 1), np.float32), bg)))
+    co, do_ = render_tri_oracle(*a, h, w)
+    cb, db = render_tri_binned(*a, h, w)
+    np.testing.assert_allclose(np.array(cb), np.array(co), atol=2e-6)
+    np.testing.assert_allclose(np.array(db), np.array(do_), atol=2e-6)
+    # out-of-rect wrapped pixels are pure background in both paths
+    co_np = np.array(co)[0]
+    oy, ox = py[outside], px[outside]
+    np.testing.assert_allclose(co_np[:, oy, ox],
+                               bg[:, None] * np.ones((3, len(oy))),
+                               atol=1e-6)
+
+
 def test_exact_counts_equal_emission_total_wrap_risk():
     """The capacity-sizing count pass (exact_tile_counts, the basis of
     recommended_key_capacity) must equal the emission path's actual total

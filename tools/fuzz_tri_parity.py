@@ -1,0 +1,148 @@
+"""Randomized binned-vs-oracle parity fuzz for the tri renderer (CPU).
+
+Sweeps random scene families -- plain soups, zero-area faces, offscreen
+faces, near-plane (int32-wrap) vertices, mixed opacities incl. alpha==1,
+odd image sizes, multi-view -- and compares the production binned path
+against the dense oracle: forward images AND all five gradients. The
+near-plane coverage-parity bug (fixed round 3, e649582) was found by
+exactly this kind of sweep; run this after touching emission, attr
+encoding, or either kernel.
+
+Usage:
+    PYTHONPATH= JAX_PLATFORMS=cpu python tools/fuzz_tri_parity.py \
+        [n_configs] [start_seed]
+
+Prints one line per config; exits nonzero listing any failures.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+os.environ.setdefault("DMRT_CHUNK", "8")  # fast CPU oracle compiles
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+import scenes  # noqa: E402
+from dmesh_renderer_tpu.ops.tri_binned import render_tri_binned  # noqa: E402
+from dmesh_renderer_tpu.ops.tri_oracle import render_tri_oracle  # noqa: E402
+
+FWD_ATOL = 3e-5
+GRAD_RTOL = 2e-4
+
+
+def make_config(seed):
+    rng = np.random.RandomState(seed)
+    # shapes come from a small bucket set so jit caches amortize across
+    # configs (scene CONTENT varies freely; unique shapes would recompile
+    # the Pallas interpret path per config)
+    n_tris = int(rng.choice([16, 24]))
+    b = int(rng.choice([1, 2]))
+    h, w = [(48, 40), (47, 33), (64, 64)][int(rng.randint(3))]
+    soup = scenes.random_triangle_soup(n_tris, seed=seed)
+    mv, proj = scenes.ring_cameras(b, radius=float(rng.uniform(2.0, 4.0)))
+    v = soup["verts"].copy()
+    fo = soup["faces_opacity"].copy()
+    fam = []
+
+    if rng.rand() < 0.4:  # zero-area faces
+        fam.append("zero-area")
+        for i in range(min(4, n_tris)):
+            f = soup["faces"][i]
+            v[f[1]] = v[f[0]]
+    if rng.rand() < 0.4:  # offscreen faces
+        fam.append("offscreen")
+        for i in range(min(3, n_tris)):
+            v[soup["faces"][-1 - i][0]] += np.array([50.0, 50.0, 0.0])
+    if rng.rand() < 0.35:  # near-plane / int32-wrap vertices
+        fam.append("near-plane")
+        inv = np.linalg.inv(mv[0])
+        for i in range(min(4, n_tris)):
+            zv = float(rng.uniform(-3e-4, 1e-3))
+            pv = np.array([float(rng.uniform(-2, 2)),
+                           float(rng.uniform(-2, 2)), zv, 1.0])
+            v[soup["faces"][i][1]] = (inv @ pv)[:3]
+    if rng.rand() < 0.4:  # saturating opacities (alpha==1 bg special case)
+        fam.append("alpha1")
+        fo[rng.randint(0, n_tris, size=max(1, n_tris // 4))] = 1.0
+    if rng.rand() < 0.3:  # huge triangles spanning many tiles
+        fam.append("huge")
+        for i in range(min(2, n_tris)):
+            f = soup["faces"][i]
+            c = v[f].mean(axis=0)
+            v[f] = c + (v[f] - c) * 8.0
+
+    vdepth, fintense = scenes.soup_view_attrs(soup, b, seed=seed + 1)
+    bg = rng.rand(3).astype(np.float32)
+    mv_t = np.swapaxes(mv, 1, 2).copy()
+    proj_t = np.swapaxes(proj, 1, 2).copy()
+    args = tuple(map(jnp.asarray, (
+        v, soup["faces"], soup["verts_color"], fo,
+        mv_t, proj_t, np.linalg.inv(mv_t), np.linalg.inv(proj_t),
+        vdepth, fintense, bg)))
+    label = f"seed={seed} B={b} F={n_tris} {h}x{w} [{','.join(fam) or 'plain'}]"
+    return args, h, w, label
+
+
+def check_config(seed):
+    args, h, w, label = make_config(seed)
+    errs = []
+
+    co, do_ = render_tri_oracle(*args, h, w)
+    cb, db = render_tri_binned(*args, h, w)
+    e_c = float(jnp.max(jnp.abs(cb - co)))
+    e_d = float(jnp.max(jnp.abs(db - do_)))
+    if e_c > FWD_ATOL or e_d > FWD_ATOL:
+        errs.append(f"fwd color={e_c:.2e} depth={e_d:.2e}")
+
+    def loss(render):
+        def f(verts, vcolor, fo, vdepth, fint):
+            c, d = render(verts, args[1], vcolor, fo, *args[4:8],
+                          vdepth, fint, args[10], h, w)
+            t = jnp.cos(jnp.arange(c.size, dtype=jnp.float32)
+                        ).reshape(c.shape)
+            td = jnp.sin(jnp.arange(d.size, dtype=jnp.float32)
+                         ).reshape(d.shape)
+            return jnp.sum(c * t) + jnp.sum(d * td)
+        return f
+
+    diff = (args[0], args[2], args[3], args[8], args[9])
+    g_o = jax.grad(loss(render_tri_oracle), argnums=tuple(range(5)))(*diff)
+    g_b = jax.grad(loss(render_tri_binned), argnums=tuple(range(5)))(*diff)
+    names = ["verts", "vcolor", "fopacity", "vdepth", "fintense"]
+    for a, bb, name in zip(g_o, g_b, names):
+        a, bb = np.array(a, np.float64), np.array(bb, np.float64)
+        scale = max(1.0, np.abs(a).max())
+        err = np.abs(a - bb).max() / scale
+        if err > GRAD_RTOL:
+            errs.append(f"grad {name} rel={err:.2e}")
+
+    return label, errs
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    start = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    failures = []
+    for seed in range(start, start + n):
+        label, errs = check_config(seed)
+        status = "FAIL " + "; ".join(errs) if errs else "ok"
+        print(f"{label}: {status}", flush=True)
+        if errs:
+            failures.append((label, errs))
+    print(f"\n{n - len(failures)}/{n} configs clean")
+    if failures:
+        for label, errs in failures:
+            print(f"FAIL {label}: {'; '.join(errs)}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
