@@ -314,3 +314,13 @@ def test_overflow_flag_propagates_under_shard_map(setup):
     ovf2, total2 = make_render(max(1, total_true // 2))(batch8)
     assert int(ovf2) == 1, "per-device overflow lost under shard_map"
     assert int(total2) == total_true
+
+
+def test_shard_view_batch_rejects_uneven_views(setup):
+    """B that does not divide the mesh must fail fast with the fix in the
+    message (shard_map would otherwise error mid-compile, cryptically)."""
+    _soup, _scene, batch = setup
+    mesh = make_view_mesh(8)
+    odd = jax.tree.map(lambda x: x[:6], batch)  # 6 views on 8 devices
+    with pytest.raises(ValueError, match="divide"):
+        shard_view_batch(mesh, odd)
