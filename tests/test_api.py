@@ -82,3 +82,14 @@ def test_unused_verts_depth_api_parity():
     c2, d2, _ = run(th.rand(1, 4))
     np.testing.assert_array_equal(np.array(c1), np.array(c2))
     np.testing.assert_array_equal(np.array(d1), np.array(d2))
+
+
+def test_reference_package_name_alias():
+    """`import dmesh_renderer` (the reference's package name) must expose
+    the full public API so reference user code runs unmodified."""
+    import dmesh_renderer as dr
+    import dmesh_renderer_tpu as drt
+
+    for name in ("TriRenderSettings", "TriRenderer", "render_tri",
+                 "TetRenderSettings", "TetRenderer", "render_tet"):
+        assert getattr(dr, name) is getattr(drt, name)
