@@ -109,9 +109,15 @@ def check_config(seed):
         errs.append(f"active mask differs "
                     f"({int(np.sum(np.array(act_j) != act_n))} px)")
     e_c = float(np.abs(np.array(c_j) - c_n).max())
-    e_d = float(np.abs(np.array(d_j) - d_n).max())
-    if e_c > FWD_ATOL or e_d > FWD_ATOL:
-        errs.append(f"fwd color={e_c:.2e} depth={e_d:.2e}")
+    # depth is the re-projected NDC z of the 3D hit point: UNBOUNDED for
+    # camera-inside rays (observed -20s), so compare scale-aware -- the
+    # f64 scalar spec vs the f32 kernels differ by f32 rounding ~1e-5 rel
+    # (the CUDA reference computes in f32 too)
+    d_jn = np.array(d_j)
+    e_d = float((np.abs(d_jn - d_n)
+                 / np.maximum(1.0, np.abs(np.asarray(d_n)))).max())
+    if e_c > FWD_ATOL or e_d > 1e-4:
+        errs.append(f"fwd color={e_c:.2e} depth_rel={e_d:.2e}")
 
     g = render_tet_np_backward(
         verts, faces, vcolor, fopacity, mv_t, proj_t, fintense,
