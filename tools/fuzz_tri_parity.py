@@ -36,6 +36,13 @@ from dmesh_renderer_tpu.ops.tri_oracle import render_tri_oracle  # noqa: E402
 
 FWD_ATOL = 3e-5
 GRAD_RTOL = 2e-4
+# Binned-vs-oracle disagreement beyond GRAD_RTOL is arbitrated against the
+# f64 scalar spec (slow, so only on miss): extreme geometry (huge+offscreen
+# stretched faces) gives BOTH f32 paths legitimate rounding of a few e-4,
+# and seed=1022 showed the oracle itself further from truth (2.9e-4) than
+# the binned path (1.1e-4). Fail only if the binned path is materially
+# farther from the f64 truth than the oracle is.
+SPEC_SLACK = 1.25
 
 
 def make_config(seed):
@@ -117,14 +124,47 @@ def check_config(seed):
     g_o = jax.grad(loss(render_tri_oracle), argnums=tuple(range(5)))(*diff)
     g_b = jax.grad(loss(render_tri_binned), argnums=tuple(range(5)))(*diff)
     names = ["verts", "vcolor", "fopacity", "vdepth", "fintense"]
+    spec_keys = {"verts": "verts", "vcolor": "verts_color",
+                 "fopacity": "faces_opacity", "vdepth": "verts_depth",
+                 "fintense": "faces_intense"}
+    g_spec = None
     for a, bb, name in zip(g_o, g_b, names):
         a, bb = np.array(a, np.float64), np.array(bb, np.float64)
         scale = max(1.0, np.abs(a).max())
         err = np.abs(a - bb).max() / scale
         if err > GRAD_RTOL:
-            errs.append(f"grad {name} rel={err:.2e}")
+            if g_spec is None:
+                g_spec = spec_grads(args, h, w)
+            truth = np.asarray(g_spec[spec_keys[name]], np.float64)
+            e_o = np.abs(a - truth).max() / scale
+            e_b = np.abs(bb - truth).max() / scale
+            if e_b > SPEC_SLACK * max(e_o, GRAD_RTOL / 2):
+                errs.append(f"grad {name} rel={err:.2e} "
+                            f"(spec: binned={e_b:.2e} oracle={e_o:.2e})")
+            else:
+                print(f"  [spec-arbitrated] grad {name}: "
+                      f"binned-vs-oracle {err:.2e}; vs f64 spec "
+                      f"binned={e_b:.2e} oracle={e_o:.2e}", flush=True)
 
     return label, errs
+
+
+def spec_grads(args, h, w):
+    """f64 ground-truth gradients from the scalar executable spec."""
+    import numpy_reference as spec
+
+    v, faces, vcolor, fo = (np.asarray(a) for a in args[:4])
+    mv_t, proj_t = np.asarray(args[4]), np.asarray(args[5])
+    vdepth, fint, bg = (np.asarray(a) for a in args[8:11])
+    b = mv_t.shape[0]
+    tc = np.cos(np.arange(b * 3 * h * w, dtype=np.float32)
+                ).reshape(b, 3, h, w)
+    td = np.sin(np.arange(b * 1 * h * w, dtype=np.float32)
+                ).reshape(b, 1, h, w)
+    _, _, aux = spec.render_tri_np(v, faces, vcolor, fo, mv_t, proj_t,
+                                   vdepth, fint, bg, h, w)
+    return spec.render_tri_np_backward(v, faces, vcolor, fo, mv_t, proj_t,
+                                       vdepth, fint, bg, h, w, tc, td, aux)
 
 
 def main():
