@@ -482,7 +482,8 @@ def default_key_capacity(B: int, F: int, avg_tiles_per_face: int = 16) -> int:
 
 
 def recommended_key_capacity(verts, faces, mv_t, proj_t, height, width,
-                             *, tile_px: int = 32, margin: float = 1.25,
+                             *, tile_px: int | None = None,
+                             margin: float = 1.25,
                              exact: bool = True,
                              bucket: int = 65_536) -> int:
     """Measure the true (face, tile) pair count of a scene and return a
@@ -506,8 +507,13 @@ def recommended_key_capacity(verts, faces, mv_t, proj_t, height, width,
 
     import jax.numpy as jnp
 
+    from ..utils.config import BIN_TILE
     from .geometry import preprocess_faces, project_verts
 
+    if tile_px is None:
+        # must match the render paths' rect granularity or the "exact"
+        # count diverges from the emission total
+        tile_px = BIN_TILE
     verts = jnp.asarray(verts, jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
     mv_t = jnp.asarray(mv_t, jnp.float32)

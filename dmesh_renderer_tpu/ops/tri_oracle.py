@@ -143,17 +143,21 @@ def _prepare(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     xsx = jnp.arange(width, dtype=jnp.float32)
     py, px = jnp.meshgrid(ys, xsx, indexing="ij")
     pixc = jnp.stack([px + 0.5, py + 0.5], axis=-1).reshape(height * width, 2)
+    # per-pixel tile indices for the rect-membership test (loop-invariant:
+    # computed once here, not per scan chunk); pixel centers: floor == index
+    tilec = (pixc / BIN_TILE).astype(jnp.int32)  # [N, 2]
 
-    return xs, (ray_o, ray_d), pixc, n_chunks
+    return xs, (ray_o, ray_d), (pixc, tilec), n_chunks
 
 
-def _chunk_terms(xs_c, rays, pixc):
+def _chunk_terms(xs_c, rays, pix):
     """Vectorized per-(face-in-chunk, pixel) quantities.
 
     xs_c arrays have leading [CHUNK, B, ...]; pixel quantities come out as
     [CHUNK, B, N].
     """
     ray_o, ray_d = rays
+    pixc, tile = pix
     p, im = xs_c["p"], xs_c["img"]  # [K, B, 3, 3], [K, B, 3, 2]
     cov = in_tri(
         pixc[None, None], im[:, :, None, 0], im[:, :, None, 1],
@@ -168,9 +172,6 @@ def _chunk_terms(xs_c, rays, pixc):
     # tile-rect membership: the reference only tests a face against pixels
     # of tiles in its bbox rect (see module docstring -- semantic for
     # int32-wrapping near-plane faces, a no-op for ordinary ones)
-    tile = jnp.stack(
-        [pixc[:, 0] / BIN_TILE, pixc[:, 1] / BIN_TILE], axis=-1
-    ).astype(jnp.int32)  # [N, 2] (pixel centers: floor == index)
     rect = xs_c["rect"]  # [K, B, 4] (min_x, min_y, max_x, max_y)
     in_rect = (
         (tile[None, None, :, 0] >= rect[..., 0:1])

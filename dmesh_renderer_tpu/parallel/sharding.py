@@ -63,14 +63,14 @@ def shard_view_batch(mesh: Mesh, batch):
     """Place every array in ``batch`` (pytree, leading axis = views) onto the
     mesh, sharded along the view axis."""
     n = int(mesh.devices.size)
-    leaves = jax.tree.leaves(batch)
-    if leaves and leaves[0].shape[0] % n != 0:
-        # shard_map requires even division; surface it here with the fix
-        # instead of a mid-compile sharding error
-        raise ValueError(
-            f"shard_view_batch: {leaves[0].shape[0]} views do not divide "
-            f"evenly over the {n}-device mesh; pad the view batch or build "
-            f"the mesh with make_view_mesh(n_devices=<divisor>)")
+    for leaf in jax.tree.leaves(batch):
+        if leaf.shape[0] % n != 0:
+            # shard_map requires even division; surface it here with the fix
+            # instead of a mid-compile sharding error
+            raise ValueError(
+                f"shard_view_batch: {leaf.shape[0]} views do not divide "
+                f"evenly over the {n}-device mesh; pad the view batch or "
+                f"build the mesh with make_view_mesh(n_devices=<divisor>)")
     s = view_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 

@@ -41,29 +41,51 @@ def pix2ndc(v, s):
     return ((v * 2.0 + 1.0) / s) - 1.0
 
 
+def _fx_i32(v):
+    """f32 pixel coord -> 16x fixed point, exactly as the production path:
+    an f32 multiply by SUBPIXEL then XLA's f32->s32 ConvertElementType
+    (truncate toward zero, SATURATE on overflow, NaN -> 0). Python's int()
+    would not wrap but also not saturate; NumPy's astype differs again --
+    mirror XLA explicitly so wrap-risk (near-plane) faces get bit-identical
+    coverage."""
+    x = float(np.float32(np.float32(v) * np.float32(16.0)))
+    if x != x:  # NaN
+        return 0
+    return max(-(2 ** 31), min(2 ** 31 - 1, int(x)))
+
+
+def _w32(v):
+    """Wrap an exact integer to int32 two's complement (XLA int ops wrap)."""
+    return ((v + 2 ** 31) & 0xFFFFFFFF) - 2 ** 31
+
+
 def np_in_tri(p, p1, p2, p3):
-    sub = 16.0
-    px, py = int(p[0] * sub), int(p[1] * sub)
-    x1, y1 = int(p1[0] * sub), int(p1[1] * sub)
-    x2, y2 = int(p2[0] * sub), int(p2[1] * sub)
-    x3, y3 = int(p3[0] * sub), int(p3[1] * sub)
-    area = (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)
+    # int32 arithmetic with two's-complement wrap on every sub/mul, like
+    # the int math in cuda_rasterizer/auxiliary.h:179-243 and the XLA i32
+    # ops of ops/geometry.in_tri. Near-plane faces overflow these edge
+    # functions; their (wrapped) coverage is part of the parity contract.
+    px, py = _fx_i32(p[0]), _fx_i32(p[1])
+    x1, y1 = _fx_i32(p1[0]), _fx_i32(p1[1])
+    x2, y2 = _fx_i32(p2[0]), _fx_i32(p2[1])
+    x3, y3 = _fx_i32(p3[0]), _fx_i32(p3[1])
+    area = _w32(_w32(_w32(x2 - x1) * _w32(y3 - y1))
+                - _w32(_w32(x3 - x1) * _w32(y2 - y1)))
     if area == 0:
         return False
     if area < 0:
         x2, y2, x3, y3 = x3, y3, x2, y2
-    cx1, cy1 = x1 - x2, y1 - y2
-    cx2, cy2 = x2 - x3, y2 - y3
-    cx3, cy3 = x3 - x1, y3 - y1
-    s1 = cx1 * (py - y1) - cy1 * (px - x1)
-    s2 = cx2 * (py - y2) - cy2 * (px - x2)
-    s3 = cx3 * (py - y3) - cy3 * (px - x3)
+    cx1, cy1 = _w32(x1 - x2), _w32(y1 - y2)
+    cx2, cy2 = _w32(x2 - x3), _w32(y2 - y3)
+    cx3, cy3 = _w32(x3 - x1), _w32(y3 - y1)
+    s1 = _w32(_w32(cx1 * _w32(py - y1)) - _w32(cy1 * _w32(px - x1)))
+    s2 = _w32(_w32(cx2 * _w32(py - y2)) - _w32(cy2 * _w32(px - x2)))
+    s3 = _w32(_w32(cx3 * _w32(py - y3)) - _w32(cy3 * _w32(px - x3)))
     if cy1 > 0 or (cy1 == 0 and cx1 > 0):
-        s1 -= 1
+        s1 = _w32(s1 - 1)
     if cy2 > 0 or (cy2 == 0 and cx2 > 0):
-        s2 -= 1
+        s2 = _w32(s2 - 1)
     if cy3 > 0 or (cy3 == 0 and cx3 > 0):
-        s3 -= 1
+        s3 = _w32(s3 - 1)
     return s1 < 0 and s2 < 0 and s3 < 0
 
 
@@ -150,13 +172,27 @@ def _project(verts, mv_t, proj_t, W, H):
 
 
 def _sorted_faces(ndc, img, faces, W, H, tile=16):
-    """Returns (order, valid) replicating cull + stable depth sort."""
+    """Returns (order, valid, rect) replicating cull + stable depth sort.
+
+    ``rect[f] = (min_x, min_y, max_x, max_y)`` is the face's tile bbox rect
+    (getRectFromTri, cuda_rasterizer/auxiliary.h:55-69). It is SEMANTIC, not
+    just an acceleration structure: duplicateWithKeys emits the face only
+    into rect tiles (rasterizer_impl.cu:44-97), so a face is never tested
+    against pixels outside its rect. For ordinary faces the rect is a
+    superset of true coverage; for near-plane faces whose int32 edge
+    functions wrap, the wrapped in_tri test can pass at far-away pixels the
+    rect never reaches -- the renderer must not cover them. The rect is
+    tile-quantized, so wrapped coverage at its edge is tile-size-dependent
+    in the reference itself; pass tile=32 (config.BIN_TILE) to match this
+    repo's paths, tile=16 for the CUDA grid.
+    """
     F = faces.shape[0]
     gx = (W + tile - 1) // tile
     gy = (H + tile - 1) // tile
     keys = []
     valid = np.zeros(F, bool)
     depth = np.zeros(F, np.float32)
+    rect = np.zeros((F, 4), np.int64)
     for f in range(F):
         zs = ndc[faces[f], 2]
         if zs.max() < -1.0 or zs.min() > 1.0:
@@ -167,6 +203,7 @@ def _sorted_faces(ndc, img, faces, W, H, tile=16):
         rminy = min(gy, max(0, int(pts[:, 1].min() / tile)))
         rmaxx = min(gx, max(0, int(pts[:, 0].max() / tile) + 1))
         rmaxy = min(gy, max(0, int(pts[:, 1].max() / tile) + 1))
+        rect[f] = (rminx, rminy, rmaxx, rmaxy)
         if (rmaxx - rminx) * (rmaxy - rminy) == 0:
             keys.append(np.inf)
             continue
@@ -175,7 +212,7 @@ def _sorted_faces(ndc, img, faces, W, H, tile=16):
         depth[f] = min(max((d + 1.0) * 0.5, 0.0), 1.0)
         keys.append(depth[f])
     order = np.argsort(np.asarray(keys), kind="stable")
-    return order, valid
+    return order, valid, rect
 
 
 def _rays(inv_mv_t, inv_proj_t, W, H):
@@ -199,7 +236,7 @@ def _rays(inv_mv_t, inv_proj_t, W, H):
 # ---------------------------------------------------------------------------
 
 def render_tri_np(verts, faces, vcolor, fopacity, mv_t, proj_t, vdepth,
-                  fintense, bg, H, W):
+                  fintense, bg, H, W, tile=16):
     B = mv_t.shape[0]
     color = np.zeros((B, 3, H, W), np.float32)
     depth_out = np.zeros((B, 1, H, W), np.float32)
@@ -209,13 +246,16 @@ def render_tri_np(verts, faces, vcolor, fopacity, mv_t, proj_t, vdepth,
         "n_contrib": np.zeros((B, H, W), np.int64),
         "order": [],
         "valid": [],
+        "rect": [],
+        "tile": tile,
     }
 
     for b in range(B):
         ndc, img = _project(verts, mv_t[b], proj_t[b], W, H)
-        order, valid = _sorted_faces(ndc, img, faces, W, H)
+        order, valid, rect = _sorted_faces(ndc, img, faces, W, H, tile=tile)
         aux["order"].append(order)
         aux["valid"].append(valid)
+        aux["rect"].append(rect)
         inv_mv = np.linalg.inv(mv_t[b])
         inv_proj = np.linalg.inv(proj_t[b])
         ray_o, ray_d = _rays(inv_mv, inv_proj, W, H)
@@ -228,8 +268,16 @@ def render_tri_np(verts, faces, vcolor, fopacity, mv_t, proj_t, vdepth,
                 D = np.float32(0.0)
                 n_contrib = 0
                 pix = np.array([x + 0.5, y + 0.5], np.float32)
+                tx, ty = x // tile, y // tile
                 for pos, f in enumerate(order):
                     if not valid[f]:
+                        continue
+                    # tile-rect membership: duplicateWithKeys only emits
+                    # the face into rect tiles, so pixels of other tiles
+                    # are never tested (semantic for int32-wrapping
+                    # near-plane faces; a no-op for ordinary ones)
+                    r = rect[f]
+                    if not (r[0] <= tx < r[2] and r[1] <= ty < r[3]):
                         continue
                     vids = faces[f]
                     if not np_in_tri(pix, img[vids[0]], img[vids[1]],
@@ -282,9 +330,11 @@ def render_tri_np_backward(verts, faces, vcolor, fopacity, mv_t, proj_t,
     g_vdepth = np.zeros((B, P), np.float64)
     g_fintense = np.zeros((B, F), np.float64)
 
+    tile = aux.get("tile", 16)
     for b in range(B):
         ndc, img = _project(verts, mv_t[b], proj_t[b], W, H)
         order, valid = aux["order"][b], aux["valid"][b]
+        rect = aux["rect"][b]
         inv_mv = np.linalg.inv(mv_t[b])
         inv_proj = np.linalg.inv(proj_t[b])
         ray_o, ray_d = _rays(inv_mv, inv_proj, W, H)
@@ -309,11 +359,15 @@ def render_tri_np_backward(verts, faces, vcolor, fopacity, mv_t, proj_t,
                 bg_dot = float(np.dot(bg, gcol))
                 bd_dot = float(gdep)
 
+                tx, ty = x // tile, y // tile
                 for pos in range(len(order) - 1, -1, -1):
                     if pos >= last_contrib:
                         continue
                     f = order[pos]
                     if not valid[f]:
+                        continue
+                    r = rect[f]  # tile-rect membership (see forward)
+                    if not (r[0] <= tx < r[2] and r[1] <= ty < r[3]):
                         continue
                     vids = faces[f]
                     if not np_in_tri(pix, img[vids[0]], img[vids[1]],

@@ -156,3 +156,29 @@ def test_jit_compiles(scene):
     c1, d1 = f(*_jax_args(scene))
     c2, d2 = render_tri_oracle(*_jax_args(scene))
     assert np.allclose(c1, c2, atol=1e-6)
+
+
+def test_spec_wrap_coverage_matches_oracle():
+    """The scalar spec must reproduce the production coverage semantics on
+    near-plane (int32-wrapping) faces: XLA's saturating f32->s32 convert,
+    two's-complement edge-function wrap (numpy_reference._fx_i32/_w32), and
+    the tile-rect membership restriction (rect granularity = BIN_TILE).
+    Before the round-3 fix the spec used Python ints (no wrap) and no rect
+    test, and deviated 1.4 L-inf from both production paths here -- too far
+    off to arbitrate fuzz disagreements (tools/fuzz_tri_parity.spec_grads).
+    """
+    from test_tri_binned import _near_plane_scene
+
+    from dmesh_renderer_tpu.utils.config import BIN_TILE
+
+    a, h, w = _near_plane_scene()
+    co, do_ = render_tri_oracle(*a, h, w)
+    v, faces, vcolor, fo = (np.asarray(x) for x in a[:4])
+    mv_t, proj_t = np.asarray(a[4]), np.asarray(a[5])
+    vdepth, fint, bg = np.asarray(a[8]), np.asarray(a[9]), np.asarray(a[10])
+    c_np, d_np, _aux = ref.render_tri_np(
+        v, faces, vcolor, fo, mv_t, proj_t, vdepth, fint, bg, h, w,
+        tile=BIN_TILE,
+    )
+    assert np.max(np.abs(np.array(co) - c_np)) < 1e-4
+    assert np.max(np.abs(np.array(do_) - d_np)) < 1e-4

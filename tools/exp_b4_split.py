@@ -52,7 +52,7 @@ def main():
                 verts, faces, vc, fo, mv_t, proj_t, inv_mv_t,
                 inv_proj_t, vdepth, fintense, H, W, kcap)
             out = tb._run_fwd_kernel(keys.starts, keys.ends, attr_tab,
-                                     rayd_t, pix_t, n_tiles)
+                                     rayd_t, pix_t, n_tiles, H, W)
             return keys, attr_tab, rayd_t, pix_t, out
 
         keys, attr_tab, rayd_t, pix_t, out = prep(vcolor, fopacity)

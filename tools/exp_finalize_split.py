@@ -59,7 +59,7 @@ def main():
     def s_kernel(a):
         keys, attr_tab, rayd_t, pix_t, _ = prep(a)
         return tb._run_fwd_kernel(keys.starts, keys.ends, attr_tab, rayd_t,
-                                  pix_t, n_tiles)
+                                  pix_t, n_tiles, H, W)
 
     def s_untile(a):
         out = s_kernel(a)

@@ -150,8 +150,15 @@ def check_config(seed):
 
 
 def spec_grads(args, h, w):
-    """f64 ground-truth gradients from the scalar executable spec."""
+    """f64 ground-truth gradients from the scalar executable spec.
+
+    tile=BIN_TILE: the rect restriction is the one tile-size-dependent
+    semantic (wrapped near-plane coverage), and both production paths
+    quantize rects at BIN_TILE -- the spec must arbitrate on the same grid.
+    """
     import numpy_reference as spec
+
+    from dmesh_renderer_tpu.utils.config import BIN_TILE
 
     v, faces, vcolor, fo = (np.asarray(a) for a in args[:4])
     mv_t, proj_t = np.asarray(args[4]), np.asarray(args[5])
@@ -162,7 +169,7 @@ def spec_grads(args, h, w):
     td = np.sin(np.arange(b * 1 * h * w, dtype=np.float32)
                 ).reshape(b, 1, h, w)
     _, _, aux = spec.render_tri_np(v, faces, vcolor, fo, mv_t, proj_t,
-                                   vdepth, fint, bg, h, w)
+                                   vdepth, fint, bg, h, w, tile=BIN_TILE)
     return spec.render_tri_np_backward(v, faces, vcolor, fo, mv_t, proj_t,
                                        vdepth, fint, bg, h, w, tc, td, aux)
 

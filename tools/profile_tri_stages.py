@@ -84,7 +84,7 @@ def main():
         rayd_t = tb._tileify(ray_d, B, H, W, gx, gy)
         pix_t = tb._pixel_coords(B, gx, gy)
         out = tb._run_fwd_kernel(keys.starts, keys.ends, attr_tab,
-                                 rayd_t, pix_t, n_tiles)
+                                 rayd_t, pix_t, n_tiles, H, W)
         return out
 
     def s_full_fwd(a):
