@@ -152,6 +152,81 @@ RECOMPUTE_BWD_ATTRS = False
 # layout (see _b_bwd).
 REDUCE_TARGET_BYTES_MAX = 24 * 2**20
 
+# The backward kernel walks only each tile's slot-list PREFIX up to its
+# last contributor (slab-rounded min(count, max n_contrib)); every later
+# record row is provably zero (never written into the zero-initialized
+# donated buffer). At the 100k-tri bench scene the walked prefixes total
+# 41k of 770k slots (tools/analyze_bwd_liveness.py) -- so the record
+# reduce compacts them (gather-free offset fill + ONE walked-scale row
+# gather) and scatter-adds at walked scale instead of key capacity.
+# The static compacted capacity is cap // WALKED_COMPACT_DIV (floored at
+# 2 slabs per tile); scenes whose walked total exceeds it -- deep
+# transparent stacks where most pixels blend most of their list -- fall
+# back to the full-capacity scatter via lax.cond at run time.
+WALKED_COMPACT_DIV = 8
+
+
+def _walked_cap(cap: int, n_tiles: int) -> int:
+    """Static compacted record capacity (multiple of SLAB, <= cap)."""
+    w = max(2 * SLAB * n_tiles, cap // WALKED_COMPACT_DIV)
+    w = ((w + SLAB - 1) // SLAB) * SLAB
+    return min(w, cap)
+
+
+def _walked_scatter_add(upd, idx, keys, fwd_state_t, n_rows, cap, n_tiles):
+    """Deterministic segment scatter-add of per-slot update rows into
+    ``[n_rows, C]``, restricted to the walked slot prefixes.
+
+    ``upd [cap, C]`` are per-slot update rows, ``idx [cap]`` the target row
+    per slot (< n_rows). Rows outside the walked prefixes are exactly zero
+    (see WALKED_COMPACT_DIV): compacting them away preserves the add order
+    of every nonzero row, so the result is bit-identical to the full
+    scatter. The compacted->source map needs NO slot-scale gathers: the
+    per-slot source offset delta_t = starts_t - comp_starts_t is monotonic
+    non-decreasing across tiles (each tile's aligned count >= its walked
+    count), so a boundary scatter-max + cummax forward-fills it -- the same
+    idiom as the binning fills (ops/binning.py)."""
+    C = upd.shape[1]
+    w_cap = _walked_cap(cap, n_tiles)
+    if w_cap >= cap:  # compaction cannot shrink anything: plain scatter
+        return jnp.zeros((n_rows, C), jnp.float32).at[idx].add(upd)
+
+    # per-tile walked slot counts from the forward's n_contrib plane --
+    # the same bound the backward kernel uses (max over the tile's pixel
+    # block, slab-rounded, clamped to the slot count)
+    nc_max = jnp.max(fwd_state_t[:, 2], axis=(1, 2)).astype(jnp.int32)
+    count = keys.ends - keys.starts  # [NT]
+    walked = jnp.minimum(count, nc_max)
+    walked = ((walked + SLAB - 1) // SLAB) * SLAB
+    total = jnp.sum(walked)
+    comp_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(walked)[:-1].astype(jnp.int32)])
+
+    # ride idx along as an f32 column so ONE row gather moves everything
+    # (exact: idx < n_rows <= B*F < 2^21)
+    up1 = jnp.concatenate([upd, idx.astype(jnp.float32)[:, None]], axis=1)
+
+    def compact(u):
+        delta = keys.starts - comp_starts  # [NT], monotonic nondecreasing
+        pos = jnp.where(walked > 0, comp_starts, w_cap)  # park empty tiles
+        dmark = jnp.zeros((w_cap + 1,), jnp.int32).at[pos].max(delta)
+        dfill = lax.cummax(dmark[:w_cap])
+        i = jnp.arange(w_cap, dtype=jnp.int32)
+        valid = i < total
+        src = jnp.where(valid, i + dfill, 0)
+        uc = u[src]  # the one walked-scale row gather
+        ic = jnp.where(valid, uc[:, C].astype(jnp.int32), n_rows)
+        vals = jnp.where(valid[:, None], uc[:, :C], 0.0)
+        return (jnp.zeros((n_rows + 1, C), jnp.float32)
+                .at[ic].add(vals)[:n_rows])
+
+    def full(u):
+        return (jnp.zeros((n_rows + 1, C), jnp.float32)
+                .at[u[:, C].astype(jnp.int32)].add(u[:, :C])[:n_rows])
+
+    return lax.cond(total <= w_cap, compact, full, up1)
+
 
 # =============================================================================
 # XLA-side slot attribute construction
@@ -979,7 +1054,10 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
     # and chunked scatters (tools/exp_scatter_scale.py). No validity
     # masking is needed: slabs the kernel never visits stay zero
     # (zero-initialized donated output), in-slab tail rows are zeroed by
-    # the kernel, and padding slots carry flat=0 / zero records.
+    # the kernel, and padding slots carry flat=0 / zero records. Both
+    # reduce layouts run through _walked_scatter_add, which exploits that
+    # zero structure: only the walked slot prefixes (41k of 770k slots at
+    # the bench scene) are gathered and scatter-added.
     inten_bf = faces_intense  # [B, F]
 
     # Route to the wide layout only when it actually shrinks the target:
@@ -998,12 +1076,9 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
         gin_slot = jnp.einsum(
             "cj,cj->c", attr_tab[:, _C0:_C0 + 9],
             rec[:, _G_VC:_G_VC + 9])  # [cap]
-        face_g_sorted = (
-            jnp.zeros((B * F, NG_USED + 1), jnp.float32)
-            .at[keys.flat].add(
-                jnp.concatenate(
-                    [rec[:, :NG_USED], gin_slot[:, None]], axis=1))
-        )
+        face_g_sorted = _walked_scatter_add(
+            jnp.concatenate([rec[:, :NG_USED], gin_slot[:, None]], axis=1),
+            keys.flat, keys, fwd_state_t, B * F, cap, n_tiles)
         face_g = (
             jnp.zeros((B * F, NG_USED + 1), jnp.float32)
             .at[keys.sigma].set(face_g_sorted, unique_indices=True)
@@ -1034,7 +1109,8 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
             + [jnp.where((vb == b)[:, None], pv, 0.0) for b in range(B)],
             axis=1)  # [cap, 19 + 4B]
         orig = keys.sigma[keys.flat] % F  # original face id per slot
-        wide = jnp.zeros((F, 19 + 4 * B), jnp.float32).at[orig].add(upd)
+        wide = _walked_scatter_add(upd, orig, keys, fwd_state_t, F, cap,
+                                   n_tiles)
         g_fopacity = wide[:, 0]
         gp = wide[:, 1:10].reshape(F, 3, 3)
         gvc = wide[:, 10:19].reshape(F, 3, 3)

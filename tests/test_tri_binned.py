@@ -474,3 +474,44 @@ def test_overflow_drop_policy_is_farthest_first(args):
         fintense[:1, near], bg, H, W, kcap_cut,
     )
     np.testing.assert_allclose(np.array(c_cut), np.array(c_near), atol=1e-6)
+
+
+def test_walked_compaction_reduce_matches_full(args, monkeypatch):
+    """The record reduce compacts the walked slot prefixes before its
+    segment scatter-add (tri_binned._walked_scatter_add): the compacted
+    path, the runtime overflow fallback (walked total > static compacted
+    capacity), and the plain full-capacity scatter must all produce
+    BIT-IDENTICAL gradients -- compaction only removes provably-zero rows
+    and preserves the add order of every nonzero one."""
+    import dmesh_renderer_tpu.ops.tri_binned as tb
+
+    rng = np.random.RandomState(21)
+    wc = jnp.asarray(rng.randn(B, 3, H, W).astype(np.float32))
+    wd = jnp.asarray(rng.randn(B, 1, H, W).astype(np.float32))
+
+    def grads():
+        def fn(verts, vcolor, fop, vdepth, fint):
+            c, d = render_tri_binned(
+                verts, args[1], vcolor, fop, args[4], args[5], args[6],
+                args[7], vdepth, fint, args[10], H, W,
+            )
+            return jnp.sum(c * wc) + jnp.sum(d * wd)
+        diff_args = (args[0], args[2], args[3], args[8], args[9])
+        return [np.array(g) for g in
+                jax.grad(fn, argnums=tuple(range(5)))(*diff_args)]
+
+    # plain scatter (compaction statically disabled: w_cap == cap)
+    monkeypatch.setattr(tb, "_walked_cap", lambda cap, n_tiles: cap)
+    g_plain = grads()
+    # compacted branch active (w_cap just under cap leaves room)
+    monkeypatch.setattr(tb, "_walked_cap",
+                        lambda cap, n_tiles: cap - tb.SLAB)
+    g_comp = grads()
+    # runtime overflow fallback: w_cap below the walked total
+    monkeypatch.setattr(tb, "_walked_cap",
+                        lambda cap, n_tiles: tb.SLAB)  # 1 slab total
+    g_fb = grads()
+
+    for gc, gf, gp in zip(g_comp, g_fb, g_plain):
+        np.testing.assert_array_equal(gc, gp)
+        np.testing.assert_array_equal(gf, gp)
