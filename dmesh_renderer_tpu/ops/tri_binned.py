@@ -45,6 +45,7 @@ Reference pipeline being replaced: rasterizer_impl.cu:175-383 (forward) and
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -164,6 +165,42 @@ REDUCE_TARGET_BYTES_MAX = 24 * 2**20
 # transparent stacks where most pixels blend most of their list -- fall
 # back to the full-capacity scatter via lax.cond at run time.
 WALKED_COMPACT_DIV = 8
+
+
+def _face_unroll() -> int:
+    """Experimental per-face loop unroll factor (DMRT_UNROLL, default 1).
+
+    At 2, the kernels process face pairs per loop iteration with BOTH
+    faces' ~45 SMEM scalar loads issued up front, so the scalar core can
+    fetch face j+1's attributes while the VPU blends face j -- the
+    suspected serialization floor of the backward kernel (~490 ns/visit
+    with only ~1.4 ms of measured vector-reduction work; see
+    tools/tpu_experiment_queue.md item 7). Bit-identical to the default:
+    the same operations execute in the same order, only the loop
+    structure changes (pairs + a 0/1-iteration tail). Read at trace time
+    so tests can toggle it per call."""
+    return int(os.environ.get("DMRT_UNROLL", "1"))
+
+
+def _face_loop(rem, load, step, st):
+    """Run ``step(j, load(j), st)`` for j in [0, rem) -- one face per
+    iteration by default, or as explicitly software-pipelined pairs under
+    DMRT_UNROLL=2 (both faces' scalar loads hoisted ahead of the pair's
+    vector work, plus a 0/1-iteration tail loop for odd ``rem``)."""
+    def one(j, st):
+        return step(j, load(j), st)
+
+    if _face_unroll() < 2:
+        return lax.fori_loop(0, rem, one, st)
+
+    def pair_body(k, st):
+        fs0 = load(2 * k)
+        fs1 = load(2 * k + 1)
+        st = step(2 * k, fs0, st)
+        return step(2 * k + 1, fs1, st)
+
+    st = lax.fori_loop(0, rem // 2, pair_body, st)
+    return lax.fori_loop((rem // 2) * 2, rem, one, st)
 
 
 def _walked_cap(cap: int, n_tiles: int) -> int:
@@ -476,9 +513,8 @@ def _fwd_kernel(pxmax, pymax, starts_ref, ends_ref, attr_hbm, rayd_ref,
         rem = jnp.minimum(n - s * SLAB, SLAB)
         base = s * SLAB
 
-        def face_body(j, st):
+        def face_step(j, fs, st):
             done, T, pT, Cr, Cg, Cb, D, nc = st
-            fs = _face_scalars(fslab, j)
             hitg, _u, _code, i0, i1, i2, _mt = _coverage_and_uv(
                 fs, px, py, dx, dy, dz)
             cr, cg, cb, dep = _interp_scalars(fs, i0, i1, i2)
@@ -496,7 +532,8 @@ def _fwd_kernel(pxmax, pymax, starts_ref, ends_ref, attr_hbm, rayd_ref,
             return (done, T, pT, Cr, Cg, Cb, D, nc)
 
         st = (done, T, pT, Cr, Cg, Cb, D, nc)
-        st = lax.fori_loop(0, rem, face_body, st)
+        st = _face_loop(rem, lambda j: _face_scalars(fslab, j),
+                        face_step, st)
         done, T, pT, Cr, Cg, Cb, D, nc = st
         return (s + 1, done, T, pT, Cr, Cg, Cb, D, nc)
 
@@ -623,9 +660,8 @@ def _bwd_kernel(starts_ref, ends_ref, attr_hbm, rayd_ref,
 
         lax.fori_loop(rem, SLAB, tail_body, 0)
 
-        def face_body(jj, st):
+        def face_step(jj, fs, st):
             j = rem - 1 - jj  # reverse within slab
-            fs = _face_scalars(fslab, j)
             hitg, u, code, i0, i1, i2, mt = _coverage_and_uv(
                 fs, px, py, dx, dy, dz)
             a = fs["alpha"]
@@ -646,7 +682,8 @@ def _bwd_kernel(starts_ref, ends_ref, attr_hbm, rayd_ref,
             return lax.cond(jnp.any(active), heavy, skip, st)
 
         st = (T, first, la, lr, lg, lb, ld, ar, ag, ab, ad)
-        st = lax.fori_loop(0, rem, face_body, st)
+        st = _face_loop(rem, lambda jj: _face_scalars(fslab, rem - 1 - jj),
+                        face_step, st)
 
         r0 = pl.multiple_of(s0 // REC_PER_ROW, SLAB // REC_PER_ROW)
         cg_dma = pltpu.make_async_copy(

@@ -515,3 +515,32 @@ def test_walked_compaction_reduce_matches_full(args, monkeypatch):
     for gc, gf, gp in zip(g_comp, g_fb, g_plain):
         np.testing.assert_array_equal(gc, gp)
         np.testing.assert_array_equal(gf, gp)
+
+
+def test_unrolled_face_loop_bit_identical(args, monkeypatch):
+    """DMRT_UNROLL=2 pair-pipelines the kernels' per-face loops (both
+    faces' SMEM scalar loads hoisted ahead of the pair's vector work, odd
+    tail in a 0/1-iteration loop). Same ops in the same order => forward
+    AND all five gradients must be BIT-identical to the default loop."""
+    rng = np.random.RandomState(7)
+    wc = jnp.asarray(rng.randn(B, 3, H, W).astype(np.float32))
+    wd = jnp.asarray(rng.randn(B, 1, H, W).astype(np.float32))
+
+    def run():
+        def fn(verts, vcolor, fop, vdepth, fint):
+            c, d = render_tri_binned(
+                verts, args[1], vcolor, fop, args[4], args[5], args[6],
+                args[7], vdepth, fint, args[10], H, W,
+            )
+            return jnp.sum(c * wc) + jnp.sum(d * wd)
+        diff_args = (args[0], args[2], args[3], args[8], args[9])
+        c, d = render_tri_binned(*args, H, W)
+        g = jax.grad(fn, argnums=tuple(range(5)))(*diff_args)
+        return [np.array(c), np.array(d)] + [np.array(x) for x in g]
+
+    monkeypatch.delenv("DMRT_UNROLL", raising=False)
+    base = run()
+    monkeypatch.setenv("DMRT_UNROLL", "2")
+    unrolled = run()
+    for b, u in zip(base, unrolled):
+        np.testing.assert_array_equal(b, u)
