@@ -182,6 +182,23 @@ def _face_unroll() -> int:
     return int(os.environ.get("DMRT_UNROLL", "1"))
 
 
+def _edge_i32() -> bool:
+    """Experimental raw-i32 edge-coefficient slab (DMRT_EDGE_I32=1).
+
+    The default attr table carries every int32 edge coefficient as TWO
+    f32 columns (split-half encoding) because Mosaic cannot scalar-bitcast
+    an f32 SMEM read back to int; each face-visit then pays 18 scalar
+    loads + 36 scalar ALU ops to reassemble 9 coefficients. With the flag
+    on, the table stores the raw int32 BIT PATTERNS in 9 f32 columns and
+    the kernels DMA the same rows a second time through an XLA-side
+    ``bitcast_convert_type`` view of the table into an int32 SMEM slab --
+    typed i32 scalar reads need no reassembly (9 loads, 0 ALU). The slot
+    gather is unchanged (one table, two dtype views). Bit-identical by
+    construction: the kernel consumes the same int32 values. Read at
+    trace time so tests can toggle it per call."""
+    return os.environ.get("DMRT_EDGE_I32", "0") == "1"
+
+
 def _face_loop(rem, load, step, st):
     """Run ``step(j, load(j), st)`` for j in [0, rem) -- one face per
     iteration by default, or as explicitly software-pipelined pairs under
@@ -314,22 +331,39 @@ def _build_face_table(verts, faces, verts_color, faces_opacity,
         img, faces)
 
     fid = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None], (B, F))
-    # split-halves encoding for ALL edge coefficients: x == (x >> 12) *
-    # 4096 + (x & 0xFFF) for any int32 (arithmetic shift; high f32-exact
-    # since |x >> 12| < 2^19, low in [0, 4096))
     ab = jnp.stack([A1, A2, A3, B1, B2, B3], axis=-1)
     cc = jnp.stack([C1, C2, C3], axis=-1)
-    icols = jnp.concatenate(
-        [
-            (ab >> 12).astype(jnp.float32),
-            (ab & 0xFFF).astype(jnp.float32),
-            (cc >> 12).astype(jnp.float32),
-            (cc & 0xFFF).astype(jnp.float32),
-            nondeg.astype(jnp.float32)[..., None],
-            fid.astype(jnp.float32)[..., None],
-        ],
-        axis=-1,
-    )  # [B, F, 20] (_EABH.._FID)
+    if _edge_i32():
+        # raw int32 BIT PATTERNS in 9 f32 columns (read in-kernel through
+        # an int32 bitcast view of the table; see _edge_i32). The 9
+        # split-half columns they replace stay zero so _NONDEG/_FID keep
+        # their absolute positions.
+        raw = lax.bitcast_convert_type(
+            jnp.concatenate([ab, cc], axis=-1), jnp.float32)
+        icols = jnp.concatenate(
+            [
+                raw,
+                jnp.zeros(ab.shape[:-1] + (9,), jnp.float32),
+                nondeg.astype(jnp.float32)[..., None],
+                fid.astype(jnp.float32)[..., None],
+            ],
+            axis=-1,
+        )  # [B, F, 20] (_EABH.._FID)
+    else:
+        # split-halves encoding for ALL edge coefficients: x == (x >> 12) *
+        # 4096 + (x & 0xFFF) for any int32 (arithmetic shift; high f32-exact
+        # since |x >> 12| < 2^19, low in [0, 4096))
+        icols = jnp.concatenate(
+            [
+                (ab >> 12).astype(jnp.float32),
+                (ab & 0xFFF).astype(jnp.float32),
+                (cc >> 12).astype(jnp.float32),
+                (cc & 0xFFF).astype(jnp.float32),
+                nondeg.astype(jnp.float32)[..., None],
+                fid.astype(jnp.float32)[..., None],
+            ],
+            axis=-1,
+        )  # [B, F, 20] (_EABH.._FID)
 
     nf = fcols.shape[-1]
     fcols = jnp.pad(fcols, ((0, 0), (0, 0), (0, _EABH - nf)))  # ints at _EABH
@@ -385,7 +419,7 @@ def _pixel_coords(B, gx, gy):
 # In-kernel shared math
 # =============================================================================
 
-def _face_scalars(fslab, j):
+def _face_scalars(fslab, j, islab=None):
     """Per-face attrs as true scalars from SMEM (SREG splats in vector ops).
 
     The attribute slab lives in *scalar memory*: dynamic scalar reads there
@@ -393,18 +427,20 @@ def _face_scalars(fslab, j):
     latency, and any (1,1)->vector path trips Mosaic's unimplemented
     dual-axis broadcast). Int32 edge coefficients are reassembled from
     their f32-exact split halves with scalar int ops (see the column-layout
-    comment at the top of this module)."""
-    return {
-        "tv": [fslab[j, _TV + k] for k in range(3)],
-        "e1": [fslab[j, _E1 + k] for k in range(3)],
-        "e2": [fslab[j, _E2 + k] for k in range(3)],
-        "qv": [fslab[j, _QV + k] for k in range(3)],
-        "c": [fslab[j, _C0 + k] for k in range(9)],
-        "d": [fslab[j, _D0 + k] for k in range(3)],
-        "alpha": fslab[j, _ALPHA],
-        "inten": fslab[j, _INTEN],
+    comment at the top of this module) -- or, when ``islab`` is given
+    (DMRT_EDGE_I32), read directly from the int32 view of the same slab
+    rows (see _edge_i32)."""
+    if islab is not None:
+        # raw int32 layout: A1 A2 A3 B1 B2 B3 C1 C2 C3 at _EABH..+8;
+        # unpack order matches _coverage_and_uv: A1 B1 C1 A2 B2 C2 ...
+        edge = [
+            islab[j, _EABH + grp + e]
+            for e in range(3)
+            for grp in (0, 3, 6)
+        ]
+    else:
         # unpack order matches _coverage_and_uv: A1 B1 C1 A2 B2 C2 A3 B3 C3
-        "edge": [
+        edge = [
             v
             for e in range(3)
             for v in (
@@ -415,7 +451,17 @@ def _face_scalars(fslab, j):
                 fslab[j, _ECH + e].astype(jnp.int32) * 4096
                 + fslab[j, _ECL + e].astype(jnp.int32),
             )
-        ],
+        ]
+    return {
+        "tv": [fslab[j, _TV + k] for k in range(3)],
+        "e1": [fslab[j, _E1 + k] for k in range(3)],
+        "e2": [fslab[j, _E2 + k] for k in range(3)],
+        "qv": [fslab[j, _QV + k] for k in range(3)],
+        "c": [fslab[j, _C0 + k] for k in range(9)],
+        "d": [fslab[j, _D0 + k] for k in range(3)],
+        "alpha": fslab[j, _ALPHA],
+        "inten": fslab[j, _INTEN],
+        "edge": edge,
         "nondeg": fslab[j, _NONDEG],
     }
 
@@ -465,8 +511,13 @@ def _interp_scalars(fs, i0, i1, i2):
 # Forward kernel
 # =============================================================================
 
-def _fwd_kernel(pxmax, pymax, starts_ref, ends_ref, attr_hbm, rayd_ref,
-                pix_ref, out_ref, fslab, semf):
+def _fwd_kernel(edge_i32, pxmax, pymax, starts_ref, ends_ref, *rest):
+    if edge_i32:
+        (attr_hbm, attr_i32_hbm, rayd_ref, pix_ref, out_ref,
+         fslab, islab, semf, semi) = rest
+    else:
+        attr_hbm, rayd_ref, pix_ref, out_ref, fslab, semf = rest
+        attr_i32_hbm = islab = semi = None
     t = pl.program_id(0)
     start = starts_ref[t]  # slab-aligned (binning.align_to_slabs)
     end = ends_ref[t]
@@ -508,7 +559,13 @@ def _fwd_kernel(pxmax, pymax, starts_ref, ends_ref, attr_hbm, rayd_ref,
         cf = pltpu.make_async_copy(
             attr_hbm.at[pl.ds(s0, SLAB), :], fslab, semf)
         cf.start()
+        if edge_i32:
+            ci = pltpu.make_async_copy(
+                attr_i32_hbm.at[pl.ds(s0, SLAB), :], islab, semi)
+            ci.start()
         cf.wait()
+        if edge_i32:
+            ci.wait()
 
         rem = jnp.minimum(n - s * SLAB, SLAB)
         base = s * SLAB
@@ -532,7 +589,7 @@ def _fwd_kernel(pxmax, pymax, starts_ref, ends_ref, attr_hbm, rayd_ref,
             return (done, T, pT, Cr, Cg, Cb, D, nc)
 
         st = (done, T, pT, Cr, Cg, Cb, D, nc)
-        st = _face_loop(rem, lambda j: _face_scalars(fslab, j),
+        st = _face_loop(rem, lambda j: _face_scalars(fslab, j, islab),
                         face_step, st)
         done, T, pT, Cr, Cg, Cb, D, nc = st
         return (s + 1, done, T, pT, Cr, Cg, Cb, D, nc)
@@ -550,14 +607,20 @@ def _fwd_kernel(pxmax, pymax, starts_ref, ends_ref, attr_hbm, rayd_ref,
 
 def _run_fwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, n_tiles,
                     height, width):
+    edge_i32 = _edge_i32()
     # largest in-image fixed-point pixel-center coords (16x + 8)
     kernel = functools.partial(
-        _fwd_kernel, int((width - 1) * 16 + 8), int((height - 1) * 16 + 8))
+        _fwd_kernel, edge_i32,
+        int((width - 1) * 16 + 8), int((height - 1) * 16 + 8))
+    i32_in = [pl.BlockSpec(memory_space=pl.ANY)] if edge_i32 else []
+    i32_scratch = ([pltpu.SMEM((SLAB, NA), jnp.int32),
+                    pltpu.SemaphoreType.DMA] if edge_i32 else [])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            *i32_in,
             pl.BlockSpec((1, 3, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
@@ -567,24 +630,34 @@ def _run_fwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, n_tiles,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((SLAB, NA), jnp.float32),
+            *i32_scratch[:1],
             pltpu.SemaphoreType.DMA,
+            *i32_scratch[1:],
         ],
     )
+    extra = ((lax.bitcast_convert_type(attr_tab, jnp.int32),)
+             if edge_i32 else ())
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 7, PSUB, PLANE), jnp.float32),
         interpret=_interpret(),
-    )(starts, ends, attr_tab, rayd_t, pix_t)
+    )(starts, ends, attr_tab, *extra, rayd_t, pix_t)
 
 
 # =============================================================================
 # Backward kernel
 # =============================================================================
 
-def _bwd_kernel(starts_ref, ends_ref, attr_hbm, rayd_ref,
-                pix_ref, fwd_ref, gin_ref, grec_in_hbm, grec_hbm, fslab,
-                grec, semf, semg):
+def _bwd_kernel(edge_i32, starts_ref, ends_ref, *rest):
+    if edge_i32:
+        (attr_hbm, attr_i32_hbm, rayd_ref, pix_ref, fwd_ref, gin_ref,
+         grec_in_hbm, grec_hbm, fslab, islab, grec, semf, semi,
+         semg) = rest
+    else:
+        (attr_hbm, rayd_ref, pix_ref, fwd_ref, gin_ref, grec_in_hbm,
+         grec_hbm, fslab, grec, semf, semg) = rest
+        attr_i32_hbm = islab = semi = None
     # grec_in_hbm is the zero-initialized record buffer, donated to
     # grec_hbm (input_output_aliases): slabs this kernel never visits stay
     # exactly zero, so the XLA-side reduction needs no validity masking.
@@ -643,7 +716,13 @@ def _bwd_kernel(starts_ref, ends_ref, attr_hbm, rayd_ref,
         cf = pltpu.make_async_copy(
             attr_hbm.at[pl.ds(s0, SLAB), :], fslab, semf)
         cf.start()
+        if edge_i32:
+            ci = pltpu.make_async_copy(
+                attr_i32_hbm.at[pl.ds(s0, SLAB), :], islab, semi)
+            ci.start()
         cf.wait()
+        if edge_i32:
+            ci.wait()
 
         rem = jnp.minimum(n_eff - s * SLAB, SLAB)
         base = s * SLAB
@@ -682,8 +761,9 @@ def _bwd_kernel(starts_ref, ends_ref, attr_hbm, rayd_ref,
             return lax.cond(jnp.any(active), heavy, skip, st)
 
         st = (T, first, la, lr, lg, lb, ld, ar, ag, ab, ad)
-        st = _face_loop(rem, lambda jj: _face_scalars(fslab, rem - 1 - jj),
-                        face_step, st)
+        st = _face_loop(
+            rem, lambda jj: _face_scalars(fslab, rem - 1 - jj, islab),
+            face_step, st)
 
         r0 = pl.multiple_of(s0 // REC_PER_ROW, SLAB // REC_PER_ROW)
         cg_dma = pltpu.make_async_copy(
@@ -850,11 +930,14 @@ def _bwd_face_heavy(st, fs, active, a, u, i0, i1, i2, code, mt, grec, j,
 
 def _run_bwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, fwd_t,
                     gin_t, n_tiles, cap):
+    edge_i32 = _edge_i32()
+    i32_in = [pl.BlockSpec(memory_space=pl.ANY)] if edge_i32 else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            *i32_in,
             pl.BlockSpec((1, 3, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
@@ -866,23 +949,28 @@ def _run_bwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, fwd_t,
             pl.BlockSpec(memory_space=pl.ANY),  # zero-init records (donated)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.SMEM((SLAB, NA), jnp.float32),
-            pltpu.SMEM((SLAB // REC_PER_ROW, NG), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=(
+            [pltpu.SMEM((SLAB, NA), jnp.float32)]
+            + ([pltpu.SMEM((SLAB, NA), jnp.int32)] if edge_i32 else [])
+            + [pltpu.SMEM((SLAB // REC_PER_ROW, NG), jnp.float32),
+               pltpu.SemaphoreType.DMA]
+            + ([pltpu.SemaphoreType.DMA] if edge_i32 else [])
+            + [pltpu.SemaphoreType.DMA]
+        ),
     )
     grec_init = jnp.zeros((cap // REC_PER_ROW, NG), jnp.float32)
+    extra = ((lax.bitcast_convert_type(attr_tab, jnp.int32),)
+             if edge_i32 else ())
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, edge_i32),
         grid_spec=grid_spec,
+        # grec_init is donated to the output (indices count the
+        # scalar-prefetch args too; the i32 table view shifts it by one)
+        input_output_aliases={(8 if edge_i32 else 7): 0},
         out_shape=jax.ShapeDtypeStruct((cap // REC_PER_ROW, NG), jnp.float32),
-        # arg 7 = grec_init (indices count the scalar-prefetch args too)
-        input_output_aliases={7: 0},
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, ends, attr_tab, rayd_t, pix_t, fwd_t, gin_t, grec_init)
+    )(starts, ends, attr_tab, *extra, rayd_t, pix_t, fwd_t, gin_t, grec_init)
 
 
 # =============================================================================

@@ -544,3 +544,34 @@ def test_unrolled_face_loop_bit_identical(args, monkeypatch):
     unrolled = run()
     for b, u in zip(base, unrolled):
         np.testing.assert_array_equal(b, u)
+
+
+def test_edge_i32_slab_bit_identical(args, monkeypatch):
+    """DMRT_EDGE_I32=1 stores the 9 int32 edge coefficients as raw bit
+    patterns and reads them through an int32 bitcast view of the attr
+    table (second SMEM slab) instead of reassembling split halves with
+    scalar ALU ops. The kernel consumes the same int32 values => forward
+    AND all five gradients must be BIT-identical to the default encoding
+    (including near-plane faces whose coefficients exceed 2^24)."""
+    rng = np.random.RandomState(11)
+    wc = jnp.asarray(rng.randn(B, 3, H, W).astype(np.float32))
+    wd = jnp.asarray(rng.randn(B, 1, H, W).astype(np.float32))
+
+    def run():
+        def fn(verts, vcolor, fop, vdepth, fint):
+            c, d = render_tri_binned(
+                verts, args[1], vcolor, fop, args[4], args[5], args[6],
+                args[7], vdepth, fint, args[10], H, W,
+            )
+            return jnp.sum(c * wc) + jnp.sum(d * wd)
+        diff_args = (args[0], args[2], args[3], args[8], args[9])
+        c, d = render_tri_binned(*args, H, W)
+        g = jax.grad(fn, argnums=tuple(range(5)))(*diff_args)
+        return [np.array(c), np.array(d)] + [np.array(x) for x in g]
+
+    monkeypatch.delenv("DMRT_EDGE_I32", raising=False)
+    base = run()
+    monkeypatch.setenv("DMRT_EDGE_I32", "1")
+    i32 = run()
+    for b, u in zip(base, i32):
+        np.testing.assert_array_equal(b, u)
