@@ -168,35 +168,37 @@ WALKED_COMPACT_DIV = 8
 
 
 def _face_unroll() -> int:
-    """Experimental per-face loop unroll factor (DMRT_UNROLL, default 1).
+    """Per-face loop unroll factor (DMRT_UNROLL, default 2).
 
     At 2, the kernels process face pairs per loop iteration with BOTH
-    faces' ~45 SMEM scalar loads issued up front, so the scalar core can
-    fetch face j+1's attributes while the VPU blends face j -- the
-    suspected serialization floor of the backward kernel (~490 ns/visit
-    with only ~1.4 ms of measured vector-reduction work; see
-    tools/tpu_experiment_queue.md item 7). Bit-identical to the default:
-    the same operations execute in the same order, only the loop
-    structure changes (pairs + a 0/1-iteration tail). Read at trace time
-    so tests can toggle it per call."""
-    return int(os.environ.get("DMRT_UNROLL", "1"))
+    faces' SMEM scalar loads issued up front, so the scalar core can
+    fetch face j+1's attributes while the VPU blends face j. Bit-identical
+    to factor 1: the same operations execute in the same order, only the
+    loop structure changes (pairs + a 0/1-iteration tail). Measured on
+    v5e at the 100k-tri bench: ~0.3 ms/frame (76.67 -> 76.35, additive
+    with DMRT_EDGE_I32) -- so the face loops are vector-op-bound, not
+    scalar-load-bound. Read at trace time so tests can toggle it per
+    call."""
+    return int(os.environ.get("DMRT_UNROLL", "2"))
 
 
 def _edge_i32() -> bool:
-    """Experimental raw-i32 edge-coefficient slab (DMRT_EDGE_I32=1).
+    """Raw-i32 edge-coefficient slab (DMRT_EDGE_I32, default on).
 
-    The default attr table carries every int32 edge coefficient as TWO
-    f32 columns (split-half encoding) because Mosaic cannot scalar-bitcast
-    an f32 SMEM read back to int; each face-visit then pays 18 scalar
-    loads + 36 scalar ALU ops to reassemble 9 coefficients. With the flag
-    on, the table stores the raw int32 BIT PATTERNS in 9 f32 columns and
-    the kernels DMA the same rows a second time through an XLA-side
-    ``bitcast_convert_type`` view of the table into an int32 SMEM slab --
-    typed i32 scalar reads need no reassembly (9 loads, 0 ALU). The slot
-    gather is unchanged (one table, two dtype views). Bit-identical by
-    construction: the kernel consumes the same int32 values. Read at
-    trace time so tests can toggle it per call."""
-    return os.environ.get("DMRT_EDGE_I32", "0") == "1"
+    With the split-half encoding (DMRT_EDGE_I32=0) the attr table carries
+    every int32 edge coefficient as TWO f32 columns (Mosaic cannot
+    scalar-bitcast an f32 SMEM read back to int) and each face-visit pays
+    18 scalar loads + 36 scalar ALU ops to reassemble 9 coefficients. By
+    default the table instead stores the raw int32 BIT PATTERNS in 9 f32
+    columns and the kernels DMA the same rows a second time through an
+    XLA-side ``bitcast_convert_type`` view of the table into an int32
+    SMEM slab -- typed i32 scalar reads need no reassembly (9 loads,
+    0 ALU). The slot gather is unchanged (one table, two dtype views).
+    Bit-identical by construction: the kernel consumes the same int32
+    values. Measured on v5e at the 100k-tri bench: ~1.4 ms/frame
+    (76.67 -> 75.23). Read at trace time so tests can toggle it per
+    call."""
+    return os.environ.get("DMRT_EDGE_I32", "1") == "1"
 
 
 def _face_loop(rem, load, step, st):
@@ -227,23 +229,43 @@ def _walked_cap(cap: int, n_tiles: int) -> int:
     return min(w, cap)
 
 
-def _walked_scatter_add(upd, idx, keys, fwd_state_t, n_rows, cap, n_tiles):
-    """Deterministic segment scatter-add of per-slot update rows into
+def _reduce_records(rec4, keys, fwd_state_t, cap, n_tiles, n_rows,
+                    make_update):
+    """Deterministic segment scatter-add of per-slot gradient records into
     ``[n_rows, C]``, restricted to the walked slot prefixes.
 
-    ``upd [cap, C]`` are per-slot update rows, ``idx [cap]`` the target row
-    per slot (< n_rows). Rows outside the walked prefixes are exactly zero
-    (see WALKED_COMPACT_DIV): compacting them away preserves the add order
-    of every nonzero row, so the result is bit-identical to the full
-    scatter. The compacted->source map needs NO slot-scale gathers: the
-    per-slot source offset delta_t = starts_t - comp_starts_t is monotonic
+    ``rec4 [cap // REC_PER_ROW, NG]`` is the backward kernel's packed
+    record buffer. ``make_update(rec [*, REC_COLS], take)`` maps un-packed
+    record rows to ``(update rows [*, C], target row ids [*] < n_rows)``,
+    using ``take`` to bring any cap-scale per-slot array (``keys.flat``,
+    the attr table, ...) to the same scale as ``rec``.
+
+    Rows outside the walked prefixes are exactly zero (see
+    WALKED_COMPACT_DIV), so the fast path compacts the PACKED rows first
+    -- a gather-free monotonic-delta offset fill + ONE walked-scale
+    128-lane row gather -- and the un-pack relayout, every make_update
+    column pass, and the segment scatter-add all run at walked scale
+    (41k of 770k slots at the bench scene) instead of key capacity.
+    The compacted->source map needs NO slot-scale gathers: the per-tile
+    source offset delta_t = starts_t - comp_starts_t is monotonic
     non-decreasing across tiles (each tile's aligned count >= its walked
-    count), so a boundary scatter-max + cummax forward-fills it -- the same
-    idiom as the binning fills (ops/binning.py)."""
-    C = upd.shape[1]
+    count), so a boundary scatter-max + cummax forward-fills it -- the
+    same idiom as the binning fills (ops/binning.py). Compaction only
+    removes provably-zero rows and preserves the add order of every
+    nonzero one => bit-identical to the full scatter. Scenes whose walked
+    total exceeds the static compacted capacity -- deep transparent
+    stacks where most pixels blend most of their list -- fall back to the
+    full-capacity path via lax.cond at run time."""
+
+    def full(_):
+        rec = rec4.reshape(cap, REC_COLS)
+        upd, tgt = make_update(rec, lambda a: a)
+        return (jnp.zeros((n_rows + 1, upd.shape[1]), jnp.float32)
+                .at[tgt].add(upd)[:n_rows])
+
     w_cap = _walked_cap(cap, n_tiles)
     if w_cap >= cap:  # compaction cannot shrink anything: plain scatter
-        return jnp.zeros((n_rows, C), jnp.float32).at[idx].add(upd)
+        return full(0)
 
     # per-tile walked slot counts from the forward's n_contrib plane --
     # the same bound the backward kernel uses (max over the tile's pixel
@@ -257,29 +279,29 @@ def _walked_scatter_add(upd, idx, keys, fwd_state_t, n_rows, cap, n_tiles):
         [jnp.zeros((1,), jnp.int32),
          jnp.cumsum(walked)[:-1].astype(jnp.int32)])
 
-    # ride idx along as an f32 column so ONE row gather moves everything
-    # (exact: idx < n_rows <= B*F < 2^21)
-    up1 = jnp.concatenate([upd, idx.astype(jnp.float32)[:, None]], axis=1)
+    def compact(_):
+        # compact at PACKED-row granularity: SLAB-aligned prefixes are
+        # REC_PER_ROW-divisible, so the row gather moves 128-lane rows
+        w4 = w_cap // REC_PER_ROW
+        delta4 = (keys.starts - comp_starts) // REC_PER_ROW
+        pos4 = jnp.where(walked > 0, comp_starts // REC_PER_ROW, w4)
+        dmark = jnp.zeros((w4 + 1,), jnp.int32).at[pos4].max(delta4)
+        dfill = lax.cummax(dmark[:w4])
+        i4 = jnp.arange(w4, dtype=jnp.int32)
+        src4 = jnp.where(i4 * REC_PER_ROW < total, i4 + dfill, 0)
+        rec = rec4[src4].reshape(w_cap, REC_COLS)  # the one row gather
+        # source SLOT ids (packed row r holds slots REC_PER_ROW*r ..)
+        slot = (src4[:, None] * REC_PER_ROW
+                + jnp.arange(REC_PER_ROW, dtype=jnp.int32)[None]
+                ).reshape(w_cap)
+        valid = jnp.arange(w_cap, dtype=jnp.int32) < total
+        upd, tgt = make_update(rec, lambda a: a[slot])
+        upd = jnp.where(valid[:, None], upd, 0.0)
+        tgt = jnp.where(valid, tgt, n_rows)
+        return (jnp.zeros((n_rows + 1, upd.shape[1]), jnp.float32)
+                .at[tgt].add(upd)[:n_rows])
 
-    def compact(u):
-        delta = keys.starts - comp_starts  # [NT], monotonic nondecreasing
-        pos = jnp.where(walked > 0, comp_starts, w_cap)  # park empty tiles
-        dmark = jnp.zeros((w_cap + 1,), jnp.int32).at[pos].max(delta)
-        dfill = lax.cummax(dmark[:w_cap])
-        i = jnp.arange(w_cap, dtype=jnp.int32)
-        valid = i < total
-        src = jnp.where(valid, i + dfill, 0)
-        uc = u[src]  # the one walked-scale row gather
-        ic = jnp.where(valid, uc[:, C].astype(jnp.int32), n_rows)
-        vals = jnp.where(valid[:, None], uc[:, :C], 0.0)
-        return (jnp.zeros((n_rows + 1, C), jnp.float32)
-                .at[ic].add(vals)[:n_rows])
-
-    def full(u):
-        return (jnp.zeros((n_rows + 1, C), jnp.float32)
-                .at[u[:, C].astype(jnp.int32)].add(u[:, :C])[:n_rows])
-
-    return lax.cond(total <= w_cap, compact, full, up1)
+    return lax.cond(total <= w_cap, compact, full, 0)
 
 
 # =============================================================================
@@ -1150,8 +1172,6 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
     rec4 = _run_bwd_kernel(keys.starts, keys.ends, attr_tab, rayd_t,
                            pix_t, fwd_state_t, gin_t, n_tiles, cap)
 
-    rec = rec4.reshape(cap, REC_COLS)  # un-pack: 4 records per 128-lane row
-
     # Reduce per-slot records to per-(view, face) gradients with ONE
     # deterministic segment scatter-add -- the structural analog of the
     # reference's atomicAdd scatter (backward.cu:389-418), but with a
@@ -1180,9 +1200,11 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
     # masking is needed: slabs the kernel never visits stay zero
     # (zero-initialized donated output), in-slab tail rows are zeroed by
     # the kernel, and padding slots carry flat=0 / zero records. Both
-    # reduce layouts run through _walked_scatter_add, which exploits that
-    # zero structure: only the walked slot prefixes (41k of 770k slots at
-    # the bench scene) are gathered and scatter-added.
+    # reduce layouts run through _reduce_records, which exploits that
+    # zero structure: the packed record rows are compacted to the walked
+    # slot prefixes (41k of 770k slots at the bench scene) BEFORE the
+    # un-pack relayout and every column pass below, so the whole reduce
+    # runs at walked scale.
     inten_bf = faces_intense  # [B, F]
 
     # Route to the wide layout only when it actually shrinks the target:
@@ -1194,16 +1216,18 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
     if small_bytes <= max(REDUCE_TARGET_BYTES_MAX, wide_bytes):
         # dL/dinten rides as a 23rd scatter column, contracted at SLOT
         # scale from the VC records and the attr table's raw colors
-        # (elementwise at cap scale -- no row ops). The former F-scale
+        # (elementwise, at walked scale -- no row ops). The former F-scale
         # verts_color[faces] gather + einsum cost ~3 ms for the same
         # quantity: vc_rec[k,c] = sum_p i_k dL_dicolor_c and
         # icol_raw_c = sum_k i_k c_attr[k,c].
-        gin_slot = jnp.einsum(
-            "cj,cj->c", attr_tab[:, _C0:_C0 + 9],
-            rec[:, _G_VC:_G_VC + 9])  # [cap]
-        face_g_sorted = _walked_scatter_add(
-            jnp.concatenate([rec[:, :NG_USED], gin_slot[:, None]], axis=1),
-            keys.flat, keys, fwd_state_t, B * F, cap, n_tiles)
+        def mk_small(r, take):
+            gin = jnp.einsum("cj,cj->c", take(attr_tab)[:, _C0:_C0 + 9],
+                             r[:, _G_VC:_G_VC + 9])
+            upd = jnp.concatenate([r[:, :NG_USED], gin[:, None]], axis=1)
+            return upd, take(keys.flat)
+
+        face_g_sorted = _reduce_records(
+            rec4, keys, fwd_state_t, cap, n_tiles, B * F, mk_small)
         face_g = (
             jnp.zeros((B * F, NG_USED + 1), jnp.float32)
             .at[keys.sigma].set(face_g_sorted, unique_indices=True)
@@ -1217,25 +1241,27 @@ def _b_bwd(height, width, kcap, with_aux, res, cots):
         ).reshape(F, 3, 3)
         gvd = face_g[..., _G_VD:_G_VD + 3]  # [B, F, 3]
     else:
-        vc_rec = rec[:, _G_VC:_G_VC + 9]  # [cap, 9]
-        inten_slot = attr_tab[:, _INTEN]  # [cap]
-        gin_slot = jnp.einsum(
-            "cj,cj->c", attr_tab[:, _C0:_C0 + 9], vc_rec)  # [cap]
-        common = jnp.concatenate(
-            [rec[:, _G_ALPHA:_G_ALPHA + 1],
-             rec[:, _G_P:_G_P + 9],
-             vc_rec * inten_slot[:, None]], axis=1)  # [cap, 19]
-        pv = jnp.concatenate(
-            [gin_slot[:, None], rec[:, _G_VD:_G_VD + 3]],
-            axis=1)  # [cap, 4]
-        vb = keys.flat // F
-        upd = jnp.concatenate(
-            [common]
-            + [jnp.where((vb == b)[:, None], pv, 0.0) for b in range(B)],
-            axis=1)  # [cap, 19 + 4B]
-        orig = keys.sigma[keys.flat] % F  # original face id per slot
-        wide = _walked_scatter_add(upd, orig, keys, fwd_state_t, F, cap,
-                                   n_tiles)
+        def mk_wide(r, take):
+            at = take(attr_tab)
+            vc_rec = r[:, _G_VC:_G_VC + 9]
+            gin = jnp.einsum("cj,cj->c", at[:, _C0:_C0 + 9], vc_rec)
+            common = jnp.concatenate(
+                [r[:, _G_ALPHA:_G_ALPHA + 1],
+                 r[:, _G_P:_G_P + 9],
+                 vc_rec * at[:, _INTEN][:, None]], axis=1)  # [*, 19]
+            pv = jnp.concatenate(
+                [gin[:, None], r[:, _G_VD:_G_VD + 3]], axis=1)  # [*, 4]
+            flat_slot = take(keys.flat)
+            vb = flat_slot // F
+            upd = jnp.concatenate(
+                [common]
+                + [jnp.where((vb == b)[:, None], pv, 0.0)
+                   for b in range(B)],
+                axis=1)  # [*, 19 + 4B]
+            return upd, keys.sigma[flat_slot] % F  # original face ids
+
+        wide = _reduce_records(rec4, keys, fwd_state_t, cap, n_tiles, F,
+                               mk_wide)
         g_fopacity = wide[:, 0]
         gp = wide[:, 1:10].reshape(F, 3, 3)
         gvc = wide[:, 10:19].reshape(F, 3, 3)

@@ -538,7 +538,7 @@ def test_unrolled_face_loop_bit_identical(args, monkeypatch):
         g = jax.grad(fn, argnums=tuple(range(5)))(*diff_args)
         return [np.array(c), np.array(d)] + [np.array(x) for x in g]
 
-    monkeypatch.delenv("DMRT_UNROLL", raising=False)
+    monkeypatch.setenv("DMRT_UNROLL", "1")
     base = run()
     monkeypatch.setenv("DMRT_UNROLL", "2")
     unrolled = run()
@@ -569,7 +569,7 @@ def test_edge_i32_slab_bit_identical(args, monkeypatch):
         g = jax.grad(fn, argnums=tuple(range(5)))(*diff_args)
         return [np.array(c), np.array(d)] + [np.array(x) for x in g]
 
-    monkeypatch.delenv("DMRT_EDGE_I32", raising=False)
+    monkeypatch.setenv("DMRT_EDGE_I32", "0")
     base = run()
     monkeypatch.setenv("DMRT_EDGE_I32", "1")
     i32 = run()
