@@ -63,7 +63,9 @@ def bench_tri_scaled(n_tris=100_000, height=800, width=800, n_views=1,
     import jax
     import jax.numpy as jnp
 
-    from dmesh_renderer_tpu.ops.binning import recommended_key_capacity
+    from dmesh_renderer_tpu.ops.binning import (
+        recommended_key_capacity, recommended_run_capacity,
+    )
     from dmesh_renderer_tpu.ops.tri_binned import render_tri_binned
 
     (verts, faces, vcolor, fopacity, mv_t, proj_t, inv_mv_t, inv_proj_t,
@@ -72,6 +74,11 @@ def bench_tri_scaled(n_tris=100_000, height=800, width=800, n_views=1,
         kcap = recommended_key_capacity(verts, faces, mv_t, proj_t,
                                         height, width,
                                         margin=1.03125, bucket=8192)
+    # run-table capacity measured the same way (346k true rows vs the
+    # 400k heuristic at this scene; run-scale row ops are capacity-priced)
+    rcap = recommended_run_capacity(verts, faces, mv_t, proj_t,
+                                    height, width,
+                                    margin=1.03125, bucket=8192)
 
     base = tuple(map(jnp.asarray, (
         verts, faces, vcolor, fopacity, mv_t, proj_t, inv_mv_t, inv_proj_t,
@@ -82,7 +89,7 @@ def bench_tri_scaled(n_tris=100_000, height=800, width=800, n_views=1,
     def loss(verts, vcolor, fo, vdepth, fint):
         c, d = render_tri_binned(
             verts, base[1], vcolor, fo, base[4], base[5], base[6],
-            base[7], vdepth, fint, bg, height, width, kcap,
+            base[7], vdepth, fint, bg, height, width, kcap, False, rcap,
         )
         return jnp.sum(c) + jnp.sum(d)
 

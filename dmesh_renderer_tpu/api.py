@@ -43,15 +43,18 @@ def _as_jax(x: Any, dtype=None) -> Array:
 class TriRenderSettings(NamedTuple):
     """Reference: dmesh_renderer/__init__.py:13-16.
 
-    ``key_capacity`` is a TPU-specific extension (defaulted, so reference
-    call sites work unchanged): the static (face, tile) key budget of the
-    binned path; None picks a shape-derived heuristic. See
-    ops/binning.default_key_capacity.
+    ``key_capacity`` and ``run_capacity`` are TPU-specific extensions
+    (defaulted, so reference call sites work unchanged): the static
+    (face, tile) key budget and the exact emission's (face, tile-row)
+    run-table budget of the binned path; None picks shape-derived
+    heuristics. Size them with ops/binning.recommended_key_capacity /
+    recommended_run_capacity for measured scenes.
     """
     image_height: int
     image_width: int
     bg: Any  # [3] background color
     key_capacity: Any = None
+    run_capacity: Any = None
 
 
 def render_tri(
@@ -100,6 +103,7 @@ def render_tri(
     )
     check_tri_inputs(*args)
     kcap = getattr(render_settings, "key_capacity", None)
+    rcap = getattr(render_settings, "run_capacity", None)
     return render_tri_auto(
         args[0], args[1], args[2], args[3], mv_t, proj_t,
         inv_mv_t, inv_proj_t, args[6], args[7], args[8],
@@ -107,6 +111,7 @@ def render_tri(
         int(render_settings.image_width),
         kcap=None if kcap is None else int(kcap),
         with_aux=return_aux,
+        run_cap=None if rcap is None else int(rcap),
     )
 
 

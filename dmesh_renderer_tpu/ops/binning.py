@@ -14,10 +14,10 @@ XLA-native replacement for the reference's host-orchestrated pipeline
                                               bbox rect, ~1.6x more pairs at
                                               100k tris; images identical --
                                               culled pairs cover no pixel).
-                                              Slots derive their owning
-                                              (face, tile-row) run via
-                                              boundary-scatter + cummax
-                                              forward fills
+                                              Per-slot keys reconstruct from
+                                              telescoped per-run delta
+                                              scatter-adds + cumsum
+                                              (_emit_exact docstring)
   CUB radix sort on packed (tile|depth)    -> per-view *face* pre-sort by
                                               depth (F-scale, cheap), then a
                                               single-key stable lax.sort of
@@ -62,6 +62,11 @@ Array = jax.Array
 # into int32 cummax lanes: the emission rank must fit in 21 bits.
 _MAX_BF = 1 << 21
 
+# Exact-coverage emission uses telescoped int32 delta cumsums (see
+# _emit_exact); their partial sums stay exact while B*n_tiles + kcap is
+# far from 2^31. Beyond this capacity, fall back to bbox emission.
+_EXACT_KCAP_MAX = 1 << 28
+
 
 class BinnedKeys(NamedTuple):
     """Sorted key table at static capacity KCAP.
@@ -88,9 +93,7 @@ class BinnedKeys(NamedTuple):
 def _fill_from_boundaries(positions: Array, values: Array, kcap: int,
                           dtype=jnp.int32) -> Array:
     """Forward-fill: scatter ``values`` at ``positions`` (monotone
-    non-decreasing values required) and cummax-fill the gaps. uint32
-    doubles the packed (offset << 10 | chunk) budget of the exact
-    emission's slot fills (kcap < 2^22 instead of 2^21)."""
+    non-decreasing values required) and cummax-fill the gaps."""
     marks = jnp.zeros((kcap,), dtype).at[positions].max(
         values.astype(dtype), mode="drop")
     return lax.cummax(marks)
@@ -212,7 +215,8 @@ def exact_tile_counts(pre: dict, grid_x: int, grid_y: int,
 
 def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
                   sort_by: str = "depth",
-                  tile_px: int | None = None) -> BinnedKeys:
+                  tile_px: int | None = None,
+                  run_cap: int | None = None) -> BinnedKeys:
     """Build the sorted (tile, depth) key table.
 
     pre: output of geometry.preprocess_faces (tiles, rect_min/max, depth,
@@ -244,14 +248,14 @@ def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
             f"tile grid {grid_x}x{grid_y} exceeds the 10-bit packed-rect "
             "budget (1023 per axis); render in crops or shard the image")
 
-    # exact-coverage emission packs (slot offset << 10 | chunk) into the
-    # uint32 forward fills, so the slot capacity must fit 2^22; beyond that
-    # (huge single-chip multi-view runs) fall back to bbox emission -- the
-    # sharded path (shard_map over views) keeps per-device capacities
-    # small and stays on the exact path
-    if (tile_px is not None and "edge_a" in pre and kcap < (_MAX_BF << 1)
+    # the exact path's telescoped key cumsum stays int32-exact while
+    # B*n_tiles + kcap fits comfortably in 31 bits; gate generously
+    # (beyond it -- absurd single-chip capacities -- fall back to bbox
+    # emission; the sharded path keeps per-device capacities small)
+    if (tile_px is not None and "edge_a" in pre and kcap < _EXACT_KCAP_MAX
             and tiles.size > 0):
-        return _emit_exact(pre, grid_x, grid_y, kcap, sort_by, tile_px)
+        return _emit_exact(pre, grid_x, grid_y, kcap, sort_by, tile_px,
+                           run_cap)
 
     # --- per-view face pre-sort by depth (F-scale: ~100x cheaper than the
     # slot-scale sort it replaces as a depth key) ---
@@ -352,14 +356,24 @@ def _sort_and_ranges(tile_key: Array, bf: Array, sigma: Array, B: int,
     )
 
 
-def _run_capacity(bf: int, kcap: int) -> int:
-    """Static capacity of the (face, tile-row) run table."""
-    cap = max(1024, min(max(4 * bf, kcap // 4), _MAX_BF - 128))
+def _run_capacity(bf: int, kcap: int, run_cap: int | None = None) -> int:
+    """Static capacity of the (face, tile-row) run table.
+
+    ``run_cap``: measured row count + margin (recommended_run_capacity);
+    None picks the shape heuristic. The run gather and both per-run delta
+    scatters are row-priced at this capacity, so a measured size saves
+    real milliseconds (the heuristic is 400k vs 346k true rows at the
+    100k-tri bench scene)."""
+    if run_cap is None:
+        cap = max(1024, min(max(4 * bf, kcap // 4), _MAX_BF - 128))
+    else:
+        cap = max(1024, min(int(run_cap), _MAX_BF - 128))
     return ((cap + 127) // 128) * 128
 
 
 def _emit_exact(pre: dict, grid_x: int, grid_y: int, kcap: int,
-                sort_by: str, tile_px: int) -> BinnedKeys:
+                sort_by: str, tile_px: int,
+                run_cap: int | None = None) -> BinnedKeys:
     """Exact-coverage emission: one slot per (face, tile) pair whose
     conservative corner test passes (vs the bbox rect, which over-emits
     ~1.6x at the 100k-tri bench -- thin/diagonal triangles touch far fewer
@@ -372,10 +386,23 @@ def _emit_exact(pre: dict, grid_x: int, grid_y: int, kcap: int,
     convex, so the passing tiles of one row form a contiguous interval and
     a run's tile ids are consecutive. The run table (capacity
     _run_capacity) is built by the same boundary-scatter + cummax fills as
-    the slots; the slot fills then scatter from run scale (~4x fewer
-    source rows than slots). Order stays (depth-sorted face, row, tx), so
-    per-tile sequences keep the reference's stable-sort parity and the
-    overflow drop policy stays farthest-first.
+    the slots.
+
+    Per-slot keys come from TELESCOPED RUN DELTAS instead of packed
+    forward fills: within a run, slot tile keys are consecutive, so
+    tile_key(slot) = KRUN(run) + slot with the per-run constant
+    KRUN = b*n_tiles + rty*grid_x + rlo - excl_run. Scatter-ADDING the
+    per-run differences of KRUN (and of the owning depth-sorted face id
+    q) at each run's first slot, then cumsumming over slots, reconstructs
+    both per-slot values with TWO run-scale scatters total: a dead run
+    (zero covered tiles) has the same excl as the next real run, so
+    colliding deltas telescope to exactly the real difference (integer
+    adds -- order-independent and exact). This replaces the two packed
+    uint32 fills + the face-scale fill of the previous design (3
+    scatters -> 2, and no 10-bit rect packing on this path). Order stays
+    (depth-sorted face, row, tx), so per-tile sequences keep the
+    reference's stable-sort parity and the overflow drop policy stays
+    farthest-first.
     """
     tiles = pre["tiles"]  # [B, F] bbox counts (mask only)
     B, F = tiles.shape
@@ -418,16 +445,20 @@ def _emit_exact(pre: dict, grid_x: int, grid_y: int, kcap: int,
     row_incl = jnp.cumsum(ny_eff)
     row_excl = (row_incl - ny_eff).astype(jnp.int32)
     rtotal = row_incl[-1].astype(jnp.int32)
-    nr_cap = _run_capacity(B * F, kcap)
+    nr_cap = _run_capacity(B * F, kcap, run_cap)
     row_overflow = rtotal > nr_cap
 
     q = jnp.arange(B * F, dtype=jnp.int32)
     qmark = jnp.where(ny_eff > 0, row_excl, nr_cap)
     runq = _fill_from_boundaries(qmark, q, nr_cap)
-    run_rowstart = _fill_from_boundaries(qmark, row_excl, nr_cap)
-    ridx = jnp.arange(nr_cap, dtype=jnp.int32) - run_rowstart
 
-    fc = _gather_cols(ftab, runq, 14)
+    # each face's first-run row index rides as a 15th gathered column
+    # (row ops are per-ROW-priced: one more column is free, and it
+    # replaces a second run-scale forward fill); < 2^21 rows, f32-exact
+    ftab15 = jnp.concatenate(
+        [ftab, row_excl.astype(jnp.float32)[:, None]], axis=1)
+    fc = _gather_cols(ftab15, runq, 15)
+    ridx = jnp.arange(nr_cap, dtype=jnp.int32) - fc[14].astype(jnp.int32)
     tyf = fc[11] + ridx.astype(jnp.float32)
     lo_f, cnt_f = _row_tile_interval(
         fc[0:3], fc[3:6], fc[6:9], fc[9], fc[10], tyf, tile_px, grid_x)
@@ -446,30 +477,18 @@ def _emit_exact(pre: dict, grid_x: int, grid_y: int, kcap: int,
     excl = (incl - rcnt).astype(jnp.int32)
     total = incl[-1].astype(jnp.int32) if rcnt.size else jnp.int32(0)
 
-    # --- slot fills from run scale ---
-    spos = jnp.where(rcnt > 0, excl, kcap)
-    exclu = excl.astype(jnp.uint32)
-    fill_a = _fill_from_boundaries(
-        spos, (exclu << 10) | rlo.astype(jnp.uint32), kcap, jnp.uint32)
-    fill_b = _fill_from_boundaries(
-        spos, (exclu << 10) | rty.astype(jnp.uint32), kcap, jnp.uint32)
-    run_start = (fill_a >> 10).astype(jnp.int32)
+    # --- per-slot keys from telescoped run deltas (see docstring) ---
+    krun = (runq // F) * n_tiles + rty * grid_x + rlo - excl
+    d_k = jnp.diff(krun, prepend=jnp.int32(0))
+    d_q = jnp.diff(runq, prepend=jnp.int32(0))
+    dk = jnp.zeros((kcap,), jnp.int32).at[excl].add(d_k, mode="drop")
+    dq = jnp.zeros((kcap,), jnp.int32).at[excl].add(d_q, mode="drop")
 
     slots = jnp.arange(kcap, dtype=jnp.int32)
     in_range = slots < total
-    tx = (fill_a & 0x3FF).astype(jnp.int32) + (slots - run_start)
-    ty = (fill_b & 0x3FF).astype(jnp.int32)
-    tile_id = ty * grid_x + tx
-
-    # face per slot (face-scale fill over exact per-face slot offsets)
-    f_incl = jnp.cumsum(cnt_s)
-    f_excl = (f_incl - cnt_s).astype(jnp.int32)
-    fmark = jnp.where(cnt_s > 0, f_excl, kcap)
-    bf = _fill_from_boundaries(fmark, q, kcap)
-
+    bf = jnp.cumsum(dq)  # depth-sorted owning face per slot
     big = jnp.int32(B * n_tiles)
-    b = bf // F
-    tile_key = jnp.where(in_range, b * n_tiles + tile_id, big)
+    tile_key = jnp.where(in_range, jnp.cumsum(dk) + slots, big)
 
     return _sort_and_ranges(tile_key, bf, sigma, B, F, n_tiles, total,
                             (total > kcap) | row_overflow)
@@ -527,6 +546,45 @@ def recommended_key_capacity(verts, faces, mv_t, proj_t, height, width,
     else:
         total = int(jnp.sum(jnp.where(pre["valid"], pre["tiles"], 0)))
     need = max(1024, int(math.ceil(total * margin)))
+    return ((need + bucket - 1) // bucket) * bucket
+
+
+def recommended_run_capacity(verts, faces, mv_t, proj_t, height, width,
+                             *, tile_px: int | None = None,
+                             margin: float = 1.25,
+                             bucket: int = 8192) -> int:
+    """Measure the exact emission's (face, tile-row) RUN count for a scene
+    and return a right-sized static run-table capacity (the ``run_cap`` of
+    ``emit_and_sort`` / ``TriRenderSettings.run_capacity``).
+
+    The run gather and both per-run delta scatters are row-priced at this
+    capacity; the shape heuristic (max(4*B*F, kcap/4)) leaves ~15% slack
+    at the 100k-tri bench scene and far more on multi-view runs. Same
+    contract as recommended_key_capacity: measure OUTSIDE jit with
+    concrete arrays; a scene outgrowing the capacity raises the overflow
+    flag (row_overflow folds into ``BinnedKeys.overflow``)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from ..utils.config import BIN_TILE
+    from .geometry import preprocess_faces, project_verts
+
+    if tile_px is None:
+        tile_px = BIN_TILE
+    verts = jnp.asarray(verts, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+    mv_t = jnp.asarray(mv_t, jnp.float32)
+    proj_t = jnp.asarray(proj_t, jnp.float32)
+    gx = (width + tile_px - 1) // tile_px
+    gy = (height + tile_px - 1) // tile_px
+    ndc, img = project_verts(verts, mv_t, proj_t, width, height)
+    pre = preprocess_faces(ndc, img, faces, width, height, tile_px, tile_px)
+    cnt = exact_tile_counts(pre, gx, gy, tile_px)
+    ny = jnp.where(
+        cnt > 0, pre["rect_max"][..., 1] - pre["rect_min"][..., 1], 0)
+    rows = int(jnp.sum(ny))
+    need = max(1024, int(math.ceil(rows * margin)))
     return ((need + bucket - 1) // bucket) * bucket
 
 

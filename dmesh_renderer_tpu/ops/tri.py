@@ -24,11 +24,14 @@ BINNED_THRESHOLD_CPU = 4096
 def render_tri_auto(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
                     inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg,
                     height, width, *, force: str | None = None,
-                    kcap: int | None = None, with_aux: bool = False):
+                    kcap: int | None = None, with_aux: bool = False,
+                    run_cap: int | None = None):
     """Render triangles; strategy is chosen statically from shapes.
 
     force: "oracle" or "binned" to override the heuristic (for tests).
     kcap: static key capacity for the binned path (None = heuristic).
+    run_cap: static run-table capacity of the binned path's exact
+        emission (None = heuristic; see binning.recommended_run_capacity).
     with_aux: also return ``(overflow bool[], num_rendered int32[])`` --
         the key-capacity overflow flag and emitted (face, tile) pair count
         of the binned path (the oracle path has no capacity: aux is
@@ -48,7 +51,7 @@ def render_tri_auto(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
         return render_tri_binned(
             verts, faces, verts_color, faces_opacity, mv_t, proj_t,
             inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg,
-            height, width, kcap, with_aux,
+            height, width, kcap, with_aux, run_cap,
         )
 
     out = render_tri_oracle(

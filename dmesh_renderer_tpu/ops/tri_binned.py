@@ -1001,7 +1001,7 @@ def _run_bwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, fwd_t,
 
 def _binned_prepare(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
                     inv_mv_t, inv_proj_t, verts_depth, faces_intense,
-                    height, width, kcap):
+                    height, width, kcap, run_cap=None):
     B = mv_t.shape[0]
     gx = (width + TILE - 1) // TILE
     gy = (height + TILE - 1) // TILE
@@ -1010,7 +1010,7 @@ def _binned_prepare(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
 
     ndc, img = project_verts(verts, mv_t, proj_t, width, height)
     pre = preprocess_faces(ndc, img, faces, width, height, TILE, TILE)
-    raw = emit_and_sort(pre, gx, gy, kcap, tile_px=TILE)
+    raw = emit_and_sort(pre, gx, gy, kcap, tile_px=TILE, run_cap=run_cap)
     keys = align_to_slabs(raw, n_tiles, SLAB, cap)
 
     cam_o = inv_mv_t[:, 3, :3]  # [B, 3]
@@ -1030,10 +1030,12 @@ def _binned_prepare(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
 
 def _render_binned_impl(verts, faces, verts_color, faces_opacity, mv_t,
                         proj_t, inv_mv_t, inv_proj_t, verts_depth,
-                        faces_intense, bg, height, width, kcap):
+                        faces_intense, bg, height, width, kcap,
+                        run_cap=None):
     keys, attr_tab, rayd_t, pix_t, (B, gx, gy, cap) = _binned_prepare(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
         inv_proj_t, verts_depth, faces_intense, height, width, kcap,
+        run_cap,
     )
     n_tiles = B * gx * gy
     out = _run_fwd_kernel(keys.starts, keys.ends, attr_tab, rayd_t,
@@ -1074,15 +1076,18 @@ def _resolve_kcap(faces, mv_t, kcap):
     return kcap
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15))
 def render_tri_binned(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
                       inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg,
-                      height, width, kcap=None, with_aux=False):
+                      height, width, kcap=None, with_aux=False,
+                      run_cap=None):
     """Tile-binned differentiable tri renderer (scaled path).
 
     Semantics identical to render_tri_oracle; see module docstring. ``kcap``
     is the static (face, tile) key capacity; None picks a heuristic from
-    shapes.
+    shapes. ``run_cap`` is the static (face, tile-row) run-table capacity
+    of the exact emission (None = heuristic; size it with
+    binning.recommended_run_capacity to trim run-scale row-op cost).
 
     Overflow policy: if more (face, tile) pairs are emitted than ``kcap``,
     keys are dropped in emission order; emission is view-major and, within
@@ -1103,6 +1108,7 @@ def render_tri_binned(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     color, depth, _, keys, _ = _render_binned_impl(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
         inv_proj_t, verts_depth, faces_intense, bg, height, width, kcap,
+        run_cap,
     )
     _overflow_warning(keys, kcap)
     if with_aux:
@@ -1112,11 +1118,12 @@ def render_tri_binned(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
 
 def _b_fwd(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
            inv_mv_t, inv_proj_t, verts_depth, faces_intense, bg,
-           height, width, kcap, with_aux):
+           height, width, kcap, with_aux, run_cap=None):
     kcap = _resolve_kcap(faces, mv_t, kcap)
     color, depth, fwd_state_t, keys, saved = _render_binned_impl(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
         inv_proj_t, verts_depth, faces_intense, bg, height, width, kcap,
+        run_cap,
     )
     _overflow_warning(keys, kcap)
     # Residuals keep the slot attr tables and tiled ray/pixel data -- the
@@ -1134,7 +1141,7 @@ def _b_fwd(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     return (color, depth), res
 
 
-def _b_bwd(height, width, kcap, with_aux, res, cots):
+def _b_bwd(height, width, kcap, with_aux, run_cap, res, cots):
     (verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
      inv_proj_t, verts_depth, faces_intense, bg, fwd_state_t, keys,
      saved) = res

@@ -154,15 +154,28 @@ def test_exact_emission_superset_of_coverage_subset_of_bbox():
     assert seq_b == pairs(exact, ne)
 
 
-def test_oversized_kcap_falls_back_to_bbox():
-    """Key capacities beyond the packed-fill budget (2^22) must fall back
-    to bbox emission gracefully (large single-chip multi-view runs), not
-    raise; the emitted totals then match the bbox path."""
+def test_oversized_kcap_falls_back_to_bbox(monkeypatch):
+    """Key capacities beyond the exact path's int32 cumsum budget
+    (_EXACT_KCAP_MAX) must fall back to bbox emission gracefully, not
+    raise; the emitted totals then match the bbox path. The gate is
+    monkeypatched small so the fallback exercises without allocating a
+    2^28-slot table; a capacity just above the OLD 2^22 packed-fill limit
+    now stays on the exact path (the telescoped delta keys removed that
+    packing)."""
+    from dmesh_renderer_tpu.ops import binning
+
     pre = _pre()
     gx, gy = W // TILE, H // TILE
-    big = (1 << 22) + 128
     bbox = emit_and_sort(pre, gx, gy, kcap=2048)
-    fb = emit_and_sort(pre, gx, gy, kcap=big, tile_px=TILE)
+    exact = emit_and_sort(pre, gx, gy, kcap=2048, tile_px=TILE)
+
+    # above the old 2^22 packing limit: still exact (fewer pairs than bbox)
+    big = (1 << 22) + 128
+    still_exact = emit_and_sort(pre, gx, gy, kcap=big, tile_px=TILE)
+    assert int(still_exact.total) == int(exact.total)
+
+    monkeypatch.setattr(binning, "_EXACT_KCAP_MAX", 4096)
+    fb = emit_and_sort(pre, gx, gy, kcap=8192, tile_px=TILE)
     assert int(fb.total) == int(bbox.total)
 
 

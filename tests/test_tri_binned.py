@@ -258,7 +258,8 @@ def test_exact_emission_matches_bbox_renders(args, monkeypatch):
 
     real = binning.emit_and_sort
 
-    def bbox_only(pre, gx, gy, kcap, sort_by="depth", tile_px=None):
+    def bbox_only(pre, gx, gy, kcap, sort_by="depth", tile_px=None,
+                  run_cap=None):
         return real(pre, gx, gy, kcap, sort_by=sort_by, tile_px=None)
 
     def run():

@@ -25,7 +25,6 @@ def main():
     n_tris = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 800
     n_views = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-    kcap = 983_040 * n_views  # matches bench.py's measured+margin capacity
 
     import jax
     import jax.numpy as jnp
@@ -34,6 +33,7 @@ def main():
     from dmesh_renderer_tpu.ops import tri_binned as tb
     from dmesh_renderer_tpu.ops.binning import (
         align_to_slabs, aligned_capacity, emit_and_sort,
+        recommended_key_capacity, recommended_run_capacity,
     )
     from dmesh_renderer_tpu.ops.geometry import preprocess_faces, project_verts
     from dmesh_renderer_tpu.ops.rays import generate_rays
@@ -41,6 +41,11 @@ def main():
     H = W = size
     (verts, faces, vcolor, fopacity, mv_t, proj_t, inv_mv_t, inv_proj_t,
      vdepth, fintense) = _build(n_tris, n_views, H, W)
+    # same measured+margin sizing as bench.py
+    kcap = recommended_key_capacity(verts, faces, mv_t, proj_t, H, W,
+                                    margin=1.03125, bucket=8192)
+    rcap = recommended_run_capacity(verts, faces, mv_t, proj_t, H, W,
+                                    margin=1.03125, bucket=8192)
     args = tuple(map(jnp.asarray, (
         verts, faces, vcolor, fopacity, mv_t, proj_t, inv_mv_t, inv_proj_t,
         vdepth, fintense)))
@@ -62,7 +67,8 @@ def main():
 
     def s_emit(a):
         ndc, img, pre = s_project(a)
-        raw = emit_and_sort(pre, gx, gy, kcap, tile_px=tb.TILE)
+        raw = emit_and_sort(pre, gx, gy, kcap, tile_px=tb.TILE,
+                            run_cap=rcap)
         return img, pre, raw
 
     def s_align(a):
@@ -90,13 +96,13 @@ def main():
     def s_full_fwd(a):
         c, d = tb.render_tri_binned(
             a[0], a[1], a[2], a[3], a[4], a[5], a[6], a[7], a[8], a[9],
-            bg, H, W, kcap)
+            bg, H, W, kcap, False, rcap)
         return c, d
 
     def loss(verts, vcolor, fo, vdepth, fint):
         c, d = tb.render_tri_binned(
             verts, args[1], vcolor, fo, args[4], args[5], args[6],
-            args[7], vdepth, fint, bg, H, W, kcap)
+            args[7], vdepth, fint, bg, H, W, kcap, False, rcap)
         return jnp.sum(c) + jnp.sum(d)
 
     grad_fn = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
