@@ -1277,15 +1277,21 @@ def _b_bwd(height, width, kcap, with_aux, run_cap, res, cots):
         gvd = pvw[..., 1:4]  # [B, F, 3]
 
     # verts + vcolor + per-view vert depths all share the faces index:
-    # ONE fused scatter-add into [P, 6 + B] (scatter cost is per ROW, so
-    # merging the [B, P]-target depth scatter in rides free; B more
-    # columns never cross the reduce-target cliff at practical view
-    # counts)
-    acc = jnp.zeros((P, 6 + B), jnp.float32).at[faces].add(
-        jnp.concatenate([gp, gvc, gvd.transpose(1, 2, 0)], axis=-1))
+    # ONE fused scatter-add into [P, max(17, 6+B)] (scatter cost is per
+    # ROW, so merging the [B, P]-target depth scatter in rides free).
+    # The update width is padded to >= 17 lanes: XLA:TPU scatter-add
+    # lowers narrower updates into a ~7x slower per-element path once the
+    # TARGET has a few hundred thousand rows (measured on v5e: 300k-row
+    # [P, 7] target costs ~85 ns/row vs ~9 ns/row at width 17+, any index
+    # pattern -- tools/exp_scatter_width.py); the padding columns are
+    # dead weight the fast path carries for free.
+    nw = max(17, 6 + B)
+    upd = jnp.concatenate([gp, gvc, gvd.transpose(1, 2, 0)], axis=-1)
+    upd = jnp.pad(upd, ((0, 0), (0, 0), (0, nw - (6 + B))))
+    acc = jnp.zeros((P, nw), jnp.float32).at[faces].add(upd)
     g_verts = acc[:, :3]
     g_vcolor = acc[:, 3:6]
-    g_vdepth = acc[:, 6:].T
+    g_vdepth = acc[:, 6:6 + B].T
 
     def zi(x):
         return np.zeros(x.shape, jax.dtypes.float0)

@@ -334,6 +334,38 @@ def test_overflow_flag_surfaces(args):
         *args, H, W, 8192)[0]))
 
 
+def test_run_capacity_plumbing(args):
+    """A measured run_cap must not change results (bitwise), and a
+    too-small run table must raise the overflow flag (row_overflow folds
+    into BinnedKeys.overflow) instead of silently corrupting keys."""
+    from dmesh_renderer_tpu.ops.binning import recommended_run_capacity
+
+    rcap = recommended_run_capacity(args[0], args[1], args[4], args[5],
+                                    H, W, margin=1.25, bucket=128)
+    c0, d0 = render_tri_binned(*args, H, W, 8192)
+    c1, d1, (ovf, _t) = render_tri_binned(*args, H, W, 8192, True, rcap)
+    np.testing.assert_array_equal(np.array(c0), np.array(c1))
+    np.testing.assert_array_equal(np.array(d0), np.array(d1))
+    assert not bool(ovf)
+
+    # gradients agree bitwise too (run_cap only sizes the run table)
+    def loss(rc):
+        def f(fo):
+            c, d = render_tri_binned(
+                args[0], args[1], args[2], fo, *args[4:], H, W, 8192,
+                False, rc)
+            return jnp.sum(c) + jnp.sum(d)
+        return np.array(jax.grad(f)(args[3]))
+    np.testing.assert_array_equal(loss(None), loss(rcap))
+
+    # run-table overflow surfaces as data (1024 is the internal floor)
+    _c, _d, (ovf2, _t2) = render_tri_binned(*args, H, W, 8192, True, 1024)
+    n_rows_true = int(recommended_run_capacity(
+        args[0], args[1], args[4], args[5], H, W, margin=1.0, bucket=1))
+    if n_rows_true > 1024:
+        assert bool(ovf2)
+
+
 def test_overflow_flag_via_public_api(args, monkeypatch):
     """The overflow signal must reach a render_tri caller (VERDICT round 1:
     'a user cannot silently render with dropped geometry')."""
