@@ -236,10 +236,14 @@ def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
     tiles = pre["tiles"]  # [B, F]
     B, F = tiles.shape
     n_tiles = grid_x * grid_y
-    if B * F >= _MAX_BF:
+    if B * F >= (1 << 23):
+        # the exact path's telescoped deltas carry raw face ids (no rank
+        # packing), but the run row-start column rides f32-exact and the
+        # bbox fallback still packs (rank << 10): cap generously
         raise ValueError(
-            f"B*F = {B * F} exceeds the 2^21 emission-rank budget of the "
-            "packed forward fill; shard views or faces first")
+            f"B*F = {B * F} exceeds the 2^23 emission budget; shard views "
+            "or faces first (shard_map over views keeps per-device B*F "
+            "small -- parallel/sharding.py)")
     if grid_x > 1023 or grid_y > 1023:
         # BOTH paths pack tile-rect coords into 10-bit fields; beyond that
         # tile ids would silently corrupt (images ~32k px per side at
@@ -256,6 +260,12 @@ def emit_and_sort(pre: dict, grid_x: int, grid_y: int, kcap: int,
             and tiles.size > 0):
         return _emit_exact(pre, grid_x, grid_y, kcap, sort_by, tile_px,
                            run_cap)
+
+    if B * F >= _MAX_BF:
+        raise ValueError(
+            f"B*F = {B * F} exceeds the 2^21 emission-rank budget of the "
+            "bbox path's packed forward fill (the exact path -- pass "
+            "tile_px -- allows 2^23); shard views or faces first")
 
     # --- per-view face pre-sort by depth (F-scale: ~100x cheaper than the
     # slot-scale sort it replaces as a depth key) ---

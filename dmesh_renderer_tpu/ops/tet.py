@@ -1086,14 +1086,21 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
 # longest walk are skipped under lax.cond.
 REPLAY_REDUCE_BATCH = 6
 
-# Per-128-lane-block survivor budget for the one-hot run extraction.
+# Per-128-lane-block survivor budgets for the one-hot run extraction.
 # Adjacent rays walk in phase (mean same-face run length ~10 at the bench
 # scene: 536k runs for 5.37M blend events, tools/exp_runstats.py), so a
-# 128-slot block holds ~12 valid runs on average and the bench scene's
-# worst block holds 26 (tools/exp_block_runs.py). If any block in a batch
-# exceeds the budget, a lax.cond falls back to the full-width scatter for
-# that batch -- records are never dropped.
-REPLAY_BLOCK_K = 32
+# 128-slot block holds ~10.6 valid runs on average; only 5.7% of live
+# blocks exceed 16 and the worst holds 26 (tools/exp_block_runstats.py).
+# Extraction is TWO-PASS: pass 1 extracts runs 1..K1 for every block
+# (the one-hot tensor, its MXU contraction, and the survivor scatter are
+# all K1-priced); the rare blocks with more runs are compacted into an
+# R // REPLAY_OVF_FRAC budget and a second extraction covers runs
+# K1+1..K. A batch whose worst block exceeds K -- or whose overflow-block
+# count exceeds the budget -- falls back to the full-width scatter under
+# lax.cond: records are never dropped.
+REPLAY_BLOCK_K1 = 16
+REPLAY_BLOCK_K = 48
+REPLAY_OVF_FRAC = 8
 
 # Batches covering the walk's tail are mostly DEAD at block granularity
 # (rays die spatially clustered, so whole 128-lane blocks go invalid
@@ -1123,14 +1130,16 @@ def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
     Gradient records (9 vertex-color moments + dL/d(opacity), keyed by
     face) are reduced to per-face sums by the one-hot MXU run extraction:
     adjacent rays walk in phase, so each 128-lane block of a replay batch
-    holds only ~12 distinct face RUNS; per-block run ids from an in-block
+    holds only ~11 distinct face RUNS; per-block run ids from an in-block
     cumsum feed a one-hot batched contraction (precision=HIGHEST,
-    f32-exact) that emits run sums + keys in fixed [R, REPLAY_BLOCK_K]
-    layout, scatter-added at survivor scale. Mostly-dead tail batches
-    compact at block granularity first, and a block exceeding the run
-    budget falls back to the full-width scatter under lax.cond (records
-    are never dropped). Deterministic, and ~4x cheaper than rank
-    compaction (tools/exp_onehot_extract.py).
+    f32-exact) that emits run sums + keys in fixed [R, K1] layout,
+    scatter-added at survivor scale, with a SECOND compacted pass over
+    the ~6% of blocks holding more than K1 runs (see REPLAY_BLOCK_K1).
+    Mostly-dead tail batches compact at block granularity first, and a
+    batch whose worst block exceeds the total budget falls back to the
+    full-width scatter under lax.cond (records are never dropped).
+    Deterministic, and ~4x cheaper than rank compaction
+    (tools/exp_onehot_extract.py).
     """
     P = verts.shape[0]
     F = faces.shape[0]
@@ -1246,6 +1255,7 @@ def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
         taken = end - start  # steps this segment's phase actually ran
         K = REPLAY_REDUCE_BATCH
         BK = REPLAY_BLOCK_K
+        BK1 = REPLAY_BLOCK_K1
         for b in range((D + K - 1) // K):
             kb = min(K, D - b * K)
             s_lo = D - (b * K + kb)  # smallest LOCAL step in this batch
@@ -1267,21 +1277,29 @@ def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
                 # 1-based id of each valid lane's run within its block (an
                 # invalid gap forces chg at the next valid lane, so a valid
                 # lane's id is always its own run's)
-                n_runs = jnp.max(
-                    jnp.cumsum((chg & valid).astype(jnp.int32), axis=1)
-                    [:, -1])
-                blockmask = jnp.any(valid, axis=1)  # [R] any-live per block
+                nrb = jnp.cumsum(
+                    (chg & valid).astype(jnp.int32), axis=1)[:, -1]  # [R]
+                n_runs = jnp.max(nrb)
+                blockmask = nrb > 0  # [R] any-live per block
                 nblocks = jnp.sum(blockmask.astype(jnp.int32))
+                # static budget resolution (tests force degenerate budgets
+                # to pin the fallback: keep every width non-negative)
+                bk1 = max(0, min(BK1, BK))
+                bk2 = BK - bk1
+                ovf = nrb > jnp.int32(bk1)  # blocks needing pass 2
+                novf = jnp.sum(ovf.astype(jnp.int32))
                 R2 = max(128, _R // REPLAY_BLOCK_COMPACT_FRAC)
+                R3 = max(128, _R // REPLAY_OVF_FRAC)
 
-                def extract_scatter(acc, ks, cs, r):
+                def extract_scatter(acc, ks, cs, r, bk, j0):
+                    # extract run ids j0+1 .. j0+bk of each block
                     vld = ks < F
                     ch = jnp.concatenate(
                         [jnp.ones((r, 1), bool), ks[:, 1:] != ks[:, :-1]],
                         axis=1)
                     vst = ch & vld
                     rix = jnp.cumsum(vst.astype(jnp.int32), axis=1)
-                    jj = jnp.arange(1, BK + 1, dtype=jnp.int32)
+                    jj = jnp.arange(j0 + 1, j0 + bk + 1, dtype=jnp.int32)
                     oh = vld[:, None, :] & (rix[:, None, :]
                                             == jj[None, :, None])
                     # ride the key and a start-count along as value columns:
@@ -1294,45 +1312,62 @@ def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
                         oh.astype(jnp.float32), cstack,
                         (((2,), (2,)), ((0,), (0,))),
                         precision=lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)  # [r, BK, 12]
+                        preferred_element_type=jnp.float32)  # [r, bk, 12]
                     k_flat = jnp.where(
                         ext[:, :, 11] > 0.0,
-                        ext[:, :, 10].astype(jnp.int32), F).reshape(r * BK)
+                        ext[:, :, 10].astype(jnp.int32), F).reshape(r * bk)
                     return acc.at[k_flat].add(
-                        ext[:, :, :10].reshape(r * BK, 10))
+                        ext[:, :, :10].reshape(r * bk, 10))
 
-                def blocks_path(acc):
-                    # tail batches are mostly dead at block granularity:
-                    # compact the live blocks (1-D ops at R scale, near free)
-                    # so extraction + scatter run at R2 blocks
-                    rank = jnp.cumsum(blockmask.astype(jnp.int32))
-                    surv = jnp.zeros((R2,), jnp.int32).at[
-                        jnp.where(blockmask, rank - 1, R2)
+                def compact_extract(acc, mask, count, budget, bk, j0):
+                    # compact the masked blocks (1-D ops at R scale, near
+                    # free) so extraction + scatter run at ``budget`` blocks
+                    rank = jnp.cumsum(mask.astype(jnp.int32))
+                    surv = jnp.zeros((budget,), jnp.int32).at[
+                        jnp.where(mask, rank - 1, budget)
                     ].set(jnp.arange(_R, dtype=jnp.int32), mode="drop")
-                    live = (jnp.arange(R2, dtype=jnp.int32)
-                            < nblocks)[:, None]
+                    live = (jnp.arange(budget, dtype=jnp.int32)
+                            < count)[:, None]
                     k2 = jnp.where(live, keys[surv], F)
                     c2 = [c[surv] for c in cols]
-                    return extract_scatter(acc, k2, c2, R2)
+                    return extract_scatter(acc, k2, c2, budget, bk, j0)
 
-                def wide(acc):
-                    def full(acc):
-                        # a block exceeded the run budget: plain full-width
-                        # scatter of the raw records (already masked to zero
-                        # on invalid slots); invalid keys hit the absorber
-                        k_all = jnp.where(valid, keys, F).reshape(-1)
-                        vals = jnp.stack(
-                            [c.reshape(-1) for c in cols], axis=1)
-                        return acc.at[k_all].add(vals)
-
+                def fast(acc):
+                    # pass 1 (runs 1..K1), on compacted live blocks when the
+                    # batch is mostly dead at block granularity (tail)
+                    acc = lax.cond(
+                        nblocks <= jnp.int32(R2),
+                        lambda a: compact_extract(
+                            a, blockmask, nblocks, R2, bk1, 0),
+                        lambda a: extract_scatter(
+                            a, keys, cols, _R, bk1, 0),
+                        acc)
+                    if bk2 == 0:
+                        return acc
+                    # pass 2 (runs K1+1..K) on the rare overflow blocks
                     return lax.cond(
-                        n_runs <= jnp.int32(BK),
-                        lambda a: extract_scatter(a, keys, cols, _R),
-                        full, acc)
+                        novf > 0,
+                        lambda a: compact_extract(
+                            a, ovf, novf, R3, bk2, bk1),
+                        lambda a: a, acc)
 
-                acc = lax.cond(
-                    (nblocks <= jnp.int32(R2)) & (n_runs <= jnp.int32(BK)),
-                    blocks_path, wide, acc)
+                def full(acc):
+                    # a block exceeded the total run budget (or too many
+                    # overflow blocks): plain full-width scatter of the raw
+                    # records (already masked to zero on invalid slots);
+                    # invalid keys hit the absorber
+                    k_all = jnp.where(valid, keys, F).reshape(-1)
+                    vals = jnp.stack(
+                        [c.reshape(-1) for c in cols], axis=1)
+                    return acc.at[k_all].add(vals)
+
+                if BK <= 0:
+                    acc = full(acc)  # degenerate budget: fallback only
+                else:
+                    ok = ((n_runs <= jnp.int32(BK))
+                          & ((novf <= jnp.int32(R3)) if bk2 > 0
+                             else (n_runs <= jnp.int32(bk1))))
+                    acc = lax.cond(ok, fast, full, acc)
                 return carry, acc
 
             run = ((start + jnp.int32(s_lo) < nc_max_seg)
