@@ -61,25 +61,28 @@ def main():
     gdep = jnp.ones_like(d)
 
     def timed(name, fn, *xs, reps=4, iters=3):
+        # saved rides as a jit ARGUMENT (closing over the ~120 MB march
+        # log embeds it as an HLO constant and the axon remote-compile
+        # request blows its size limit: HTTP 413)
         @jax.jit
-        def chained(fo, *xs):
+        def chained(fo, saved, *xs):
             def body(salt, _):
-                out = fn(fo + salt * 1e-12, *xs)
+                out = fn(fo + salt * 1e-12, saved, *xs)
                 s = sum(jnp.sum(o) for o in out)
                 return salt + s * 1e-20, None
             salt, _ = lax.scan(body, jnp.float32(0), None, length=reps)
             return salt
 
-        float(chained(args[3], *xs))
+        float(chained(args[3], saved, *xs))
         ts = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            float(chained(args[3], *xs))
+            float(chained(args[3], saved, *xs))
             ts.append(time.perf_counter() - t0)
         print(f"{name:>40}: {min(ts)*1000/reps:8.2f} ms", flush=True)
 
     # full replay
-    def replay(fo):
+    def replay(fo, saved):
         return tet_mod._render_tet_backward_replay(
             args[0], args[1], bg, saved, gcol * (1 + fo[0] * 0), gdep,
             B, H, W)
@@ -96,18 +99,15 @@ def main():
     log = saved["march_segs"][0]["log"]
     D, G = log.shape[0], log.shape[1]
 
-    def scan_only(fo):
+    def scan_only(fo, saved):
         # replicate the replay scan, then just sum the recs (no sort)
-        import types
-        out = tet_mod._render_tet_backward_replay
-        # call internals: cheat by temporarily making the reduce a sum
         return _replay_scan_sum(tet_mod, args[0], args[1], bg, saved,
                                 gcol * (1 + fo[0] * 0), gdep, B, H, W)
 
     timed("replay scan only (sum-reduce)", scan_only)
 
     # marching backward for comparison
-    def marching(fo):
+    def marching(fo, saved):
         return tet_mod._render_tet_backward(
             args[0], args[1], args[2], fo, args[4], args[5], args[6],
             args[7], args[8], args[9], args[10], args[11], bg, H, W, 0,
