@@ -66,6 +66,9 @@ def main():
               np.stack(cols_np, 1) * valid_np[:, None])
     acc_ref = acc_ref[:F]
 
+    REPS = 8  # chained inside one jit: the axon remote dispatch is a
+    # fixed ~28 ms per call and would otherwise swamp every delta
+
     def timeit(name, fn, *args, check=True):
         f = jax.jit(fn)
         out = f(*args)
@@ -76,13 +79,22 @@ def main():
             err = (np.abs(got - acc_ref).max()
                    / max(1e-9, np.abs(acc_ref).max()))
             msg = f"  (rel err {err:.2e})"
+
+        @jax.jit
+        def chained(k, *cs):
+            def body(salt, _):
+                o = fn(k, *[c * (1.0 + salt * 1e-12) for c in cs])
+                return salt + jnp.sum(o) * 1e-20, None
+            s, _ = lax.scan(body, jnp.float32(0), None, length=REPS)
+            return s
+
+        float(chained(*args))
         ts = []
-        for _ in range(5):
+        for _ in range(4):
             t0 = time.perf_counter()
-            o = f(*args)
-            float(jnp.sum(o))
+            float(chained(*args))
             ts.append(time.perf_counter() - t0)
-        print(f"{name:>44}: {min(ts)*1000:8.2f} ms{msg}", flush=True)
+        print(f"{name:>44}: {min(ts)*1000/REPS:8.2f} ms{msg}", flush=True)
 
     def prep(k):
         k2 = k.reshape(R, 128)
@@ -112,7 +124,11 @@ def main():
             else:
                 oh16 = ohb.astype(jnp.bfloat16)
                 hi = cs_t.astype(jnp.bfloat16)
-                lo = (cs_t - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                # barrier: XLA:TPU canonicalizes x - f32(bf16(x)) through
+                # cast-reordering and the residual collapses (measured:
+                # rel err 72 without it; CPU was exact)
+                lo = (cs_t - lax.optimization_barrier(hi).astype(
+                    jnp.float32)).astype(jnp.bfloat16)
                 ext = (lax.dot_general(oh16, hi, dn,
                                        preferred_element_type=jnp.float32)
                        + lax.dot_general(oh16, lo, dn,
