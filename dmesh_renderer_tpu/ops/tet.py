@@ -1205,13 +1205,16 @@ def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
                                 -fT / jnp.maximum(1.0 - alpha, 1e-37))
             dL_dop = (dL_dop + bg_coef * bg_dot) * mf
 
+            # The 9 vertex-color records are the outer product
+            # (wm*i_i) x gc_j with gc_j constant per ray: only the 3
+            # wm*i_i factors (plus dL_dop) flow through the scan; the
+            # products rebuild elementwise at reduce time (_build_recs),
+            # fusing into the extraction -- 11 -> 5 materialized scan
+            # columns, ~2.2x less log-batch HBM traffic. Product order
+            # (wm * i_i) * gc_j is unchanged, so sums stay bitwise
+            # identical.
             wm = inten * prev_T * alpha * mf
-            i1, i2 = u, v
-            i0 = 1.0 - u - v
-            recs = (wm * i0 * gc[0], wm * i0 * gc[1], wm * i0 * gc[2],
-                    wm * i1 * gc[0], wm * i1 * gc[1], wm * i1 * gc[2],
-                    wm * i2 * gc[0], wm * i2 * gc[1], wm * i2 * gc[2],
-                    dL_dop)
+            recs = (wm * (1.0 - u - v), wm * u, wm * v, dL_dop)
             key = jnp.where(m, cf, jnp.float32(F)).astype(jnp.int32)
 
             la = jnp.where(m, alpha, la)
@@ -1251,6 +1254,7 @@ def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
     def replay_segment(log, start, end, per_ray, carry, acc):
         D, G = log.shape[0], log.shape[1]
         step, nc = seg_step(log, per_ray)
+        gc = per_ray[0:3]  # per-ray [G, 128] color grads for build_recs
         nc_max_seg = jnp.max(nc).astype(jnp.int32)
         taken = end - start  # steps this segment's phase actually ran
         K = REPLAY_REDUCE_BATCH
@@ -1269,7 +1273,20 @@ def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
                 carry, outs = lax.scan(step, carry,
                                        (ss_local, start + ss_local))
                 keys = outs[0].reshape(_R, 128)
+                # 4 materialized columns: wm*i0, wm*i1, wm*i2, dL_dop
                 cols = [r.reshape(_R, 128) for r in outs[1:]]
+                # per-ray gc_j broadcast over the batch's steps (fused by
+                # XLA into the consumers; never materialized at _R scale)
+                gcb = [jnp.broadcast_to(
+                    g[None], (_kb, g.shape[0], 128)).reshape(_R, 128)
+                    for g in gc]
+
+                def build_recs(c4, g3):
+                    # outer product (wm*i_i) * gc_j + dL_dop; same product
+                    # order as the pre-factored form (bitwise identical)
+                    return ([c4[i] * g3[j]
+                             for i in range(3) for j in range(3)]
+                            + [c4[3]])
                 valid = keys < F
                 chg = jnp.concatenate(
                     [jnp.ones((_R, 1), bool), keys[:, 1:] != keys[:, :-1]],
@@ -1329,7 +1346,10 @@ def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
                     live = (jnp.arange(budget, dtype=jnp.int32)
                             < count)[:, None]
                     k2 = jnp.where(live, keys[surv], F)
-                    c2 = [c[surv] for c in cols]
+                    # gather the 4 factor cols + 3 gc cols (7 column
+                    # gathers vs 10 for pre-built records), rebuild after
+                    c2 = build_recs([c[surv] for c in cols],
+                                    [g[surv] for g in gcb])
                     return extract_scatter(acc, k2, c2, budget, bk, j0)
 
                 def fast(acc):
@@ -1340,7 +1360,7 @@ def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
                         lambda a: compact_extract(
                             a, blockmask, nblocks, R2, bk1, 0),
                         lambda a: extract_scatter(
-                            a, keys, cols, _R, bk1, 0),
+                            a, keys, build_recs(cols, gcb), _R, bk1, 0),
                         acc)
                     if bk2 == 0:
                         return acc
@@ -1358,7 +1378,8 @@ def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
                     # invalid keys hit the absorber
                     k_all = jnp.where(valid, keys, F).reshape(-1)
                     vals = jnp.stack(
-                        [c.reshape(-1) for c in cols], axis=1)
+                        [c.reshape(-1) for c in build_recs(cols, gcb)],
+                        axis=1)
                     return acc.at[k_all].add(vals)
 
                 if BK <= 0:
