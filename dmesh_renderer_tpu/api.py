@@ -218,6 +218,26 @@ def render_tet(
         mv_t, proj_t, a["faces_intense"], a["tets"], a["face_tets"],
         a["tet_faces"], a["bg"],
     )
+    if (a["verts"].shape[0] == 0 or a["faces"].shape[0] == 0
+            or a["tets"].shape[0] == 0):
+        # Empty-geometry parity: the reference calls Renderer::forward
+        # unconditionally (render.cu:303-334); with no geometry every pixel
+        # finds no first hit (first_face == -1), the march never runs, and
+        # the inactive fill applies: color = bg, depth = 1, active = false
+        # (cuda_renderer/forward.cu:533-558, :806-814). The JAX pipeline's
+        # static tables cannot be zero-sized, so the fill happens here.
+        B = mv_t.shape[0]
+        H = int(render_settings.image_height)
+        W = int(render_settings.image_width)
+        color = jnp.broadcast_to(
+            a["bg"].reshape(1, 3, 1, 1), (B, 3, H, W)).astype(jnp.float32)
+        depth = jnp.ones((B, 1, H, W), jnp.float32)
+        active = jnp.zeros((B, H, W), bool)
+        if return_aux:
+            return color, depth, active, (jnp.asarray(False),
+                                          jnp.asarray(0, jnp.int32))
+        return color, depth, active
+
     kcap = getattr(render_settings, "key_capacity", None)
     return render_tet_core(
         a["verts"], a["faces"], a["verts_color"], a["faces_opacity"],

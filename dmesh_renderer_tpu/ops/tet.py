@@ -1208,7 +1208,8 @@ def _render_tet_backward_replay(verts, faces, bg, saved, dL_dcolor,
             # The 9 vertex-color records are the outer product
             # (wm*i_i) x gc_j with gc_j constant per ray: only the 3
             # wm*i_i factors (plus dL_dop) flow through the scan; the
-            # products rebuild elementwise at reduce time (_build_recs),
+            # products rebuild elementwise at reduce time (build_recs,
+            # the local helper in run_batch below),
             # fusing into the extraction -- 11 -> 5 materialized scan
             # columns, ~2.2x less log-batch HBM traffic. Product order
             # (wm * i_i) * gc_j is unchanged, so sums stay bitwise

@@ -40,7 +40,27 @@ def render_tri_auto(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     if force not in (None, "oracle", "binned"):
         raise ValueError(
             f"force must be None, 'oracle' or 'binned', got {force!r}")
+    import jax.numpy as jnp
+
     n_faces = faces.shape[0]
+    if verts.shape[0] == 0:
+        # Reference parity: with P == 0 the forward pipeline is never
+        # launched and the preallocated zero outputs are returned as-is
+        # (render.cu:87-88, :104-105) -- NOT background-filled.
+        B = mv_t.shape[0]
+        color = jnp.zeros((B, 3, height, width), jnp.float32)
+        depth = jnp.zeros((B, 1, height, width), jnp.float32)
+        if with_aux:
+            return color, depth, (jnp.asarray(False),
+                                  jnp.asarray(0, jnp.int32))
+        return color, depth
+    if n_faces == 0:
+        # P > 0, F == 0: the reference pipeline runs end-to-end with empty
+        # tile ranges, so every pixel blends nothing -> bg + depth = 1*T
+        # (render.cu:105-130; forward.cu:478-488). The binned path needs
+        # F >= 1 for its static capacities, so F = 0 always routes to the
+        # oracle (which reduces over zero faces), even under force="binned".
+        force = "oracle"
     threshold = (BINNED_THRESHOLD_CPU if jax.default_backend() == "cpu"
                  else BINNED_THRESHOLD_TPU)
     strategy = force or ("binned" if n_faces > threshold else "oracle")

@@ -39,9 +39,36 @@ def restore_checkpoint(path: str, template: Any) -> Any:
 
     ``template`` provides the structure (e.g. a freshly-initialized
     TrainState); returns the restored values in the template's structure.
+
+    The restored leaves are validated against the template before
+    unflattening: leaf count, and per-leaf shape/dtype where the template
+    leaf has them. A checkpoint saved from a different model/optimizer
+    configuration fails with a message naming the mismatch instead of
+    unflattening into garbage.
     """
     path = os.path.abspath(path)
     flat = _checkpointer().restore(path)
     leaves = [flat[k] for k in sorted(flat)]
-    treedef = jax.tree.structure(template)
+    tmpl_leaves, treedef = jax.tree.flatten(template)
+    if len(leaves) != len(tmpl_leaves):
+        raise ValueError(
+            f"checkpoint at {path} has {len(leaves)} leaves but the template "
+            f"has {len(tmpl_leaves)} -- it was saved from a different "
+            "state structure (model/optimizer config mismatch)")
+    for i, (got, want) in enumerate(zip(leaves, tmpl_leaves)):
+        g_shape = getattr(got, "shape", None)
+        w_shape = getattr(want, "shape", None)
+        if g_shape is not None and w_shape is not None and \
+                tuple(g_shape) != tuple(w_shape):
+            raise ValueError(
+                f"checkpoint leaf {i} has shape {tuple(g_shape)} but the "
+                f"template expects {tuple(w_shape)} (checkpoint at {path} "
+                "was saved from a different state configuration)")
+        g_dtype = getattr(got, "dtype", None)
+        w_dtype = getattr(want, "dtype", None)
+        if g_dtype is not None and w_dtype is not None and g_dtype != w_dtype:
+            raise ValueError(
+                f"checkpoint leaf {i} has dtype {g_dtype} but the template "
+                f"expects {w_dtype} (checkpoint at {path} was saved from a "
+                "different state configuration)")
     return jax.tree.unflatten(treedef, leaves)

@@ -93,3 +93,115 @@ def test_reference_package_name_alias():
     for name in ("TriRenderSettings", "TriRenderer", "render_tri",
                  "TetRenderSettings", "TetRenderer", "render_tet"):
         assert getattr(dr, name) is getattr(drt, name)
+
+
+# =============================================================================
+# Empty / degenerate geometry parity (reference render.cu:87-130, :288-334)
+# =============================================================================
+
+def _identity_mats(B):
+    eye = np.eye(4, dtype=np.float32)
+    return np.tile(eye, (B, 1, 1)), np.tile(eye, (B, 1, 1))
+
+
+def test_tri_zero_verts_renders_zeros():
+    """P == 0: the reference never launches the pipeline and returns the
+    zero-initialized outputs verbatim (render.cu:87-88, :104-105)."""
+    B = 2
+    mv, proj = _identity_mats(B)
+    settings = TriRenderSettings(H, W, np.array([0.2, 0.4, 0.6], np.float32))
+    color, depth = TriRenderer(settings)(
+        np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32),
+        np.zeros((0, 3), np.float32), np.zeros((0,), np.float32),
+        mv, proj, np.zeros((B, 0), np.float32), np.zeros((B, 0), np.float32),
+    )
+    np.testing.assert_array_equal(np.array(color), 0.0)
+    np.testing.assert_array_equal(np.array(depth), 0.0)
+
+
+def test_tri_zero_faces_renders_background():
+    """P > 0, F == 0: the pipeline runs with empty tile ranges, so every
+    pixel blends nothing -> bg color, depth = 1 (forward.cu:478-488)."""
+    B = 2
+    mv, proj = _identity_mats(B)
+    bg = np.array([0.2, 0.4, 0.6], np.float32)
+    settings = TriRenderSettings(H, W, bg)
+    color, depth = TriRenderer(settings)(
+        np.zeros((5, 3), np.float32), np.zeros((0, 3), np.int32),
+        np.zeros((5, 3), np.float32), np.zeros((0,), np.float32),
+        mv, proj, np.zeros((B, 5), np.float32), np.zeros((B, 0), np.float32),
+    )
+    np.testing.assert_allclose(
+        np.array(color), np.broadcast_to(bg.reshape(1, 3, 1, 1),
+                                         (B, 3, H, W)), atol=1e-7)
+    np.testing.assert_allclose(np.array(depth), 1.0, atol=1e-7)
+
+
+def test_tri_zero_faces_force_binned_does_not_raise():
+    """render_tri_auto must handle F == 0 even when the binned path is
+    forced (it reroutes to the oracle; the binned path needs F >= 1)."""
+    from dmesh_renderer_tpu.ops.tri import render_tri_auto
+    import jax.numpy as jnp
+
+    B = 1
+    mv, proj = _identity_mats(B)
+    mv_t = jnp.asarray(np.swapaxes(mv, 1, 2))
+    proj_t = jnp.asarray(np.swapaxes(proj, 1, 2))
+    color, depth = render_tri_auto(
+        jnp.zeros((5, 3)), jnp.zeros((0, 3), jnp.int32), jnp.zeros((5, 3)),
+        jnp.zeros((0,)), mv_t, proj_t, jnp.linalg.inv(mv_t),
+        jnp.linalg.inv(proj_t), jnp.zeros((B, 5)), jnp.zeros((B, 0)),
+        jnp.array([1.0, 0.0, 0.0]), H, W, force="binned",
+    )
+    np.testing.assert_allclose(np.array(color[:, 0]), 1.0, atol=1e-7)
+
+
+def test_tet_empty_geometry_renders_inactive_background():
+    """F == 0 / T == 0: no pixel finds a first hit, so the inactive fill
+    applies everywhere: bg color, depth = 1, active = false
+    (cuda_renderer/forward.cu:533-558, :806-814)."""
+    from dmesh_renderer_tpu import render_tet
+
+    B = 2
+    mv, proj = _identity_mats(B)
+    bg = np.array([0.2, 0.4, 0.6], np.float32)
+    settings = TetRenderSettings(H, W, bg, 0)
+    color, depth, active = TetRenderer(settings)(
+        np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32),
+        np.zeros((0, 3), np.float32), np.zeros((0,), np.float32),
+        mv, proj, np.zeros((B, 0), np.float32), np.zeros((B, 0), np.float32),
+        np.zeros((0, 4), np.int32), np.zeros((0, 2), np.int32),
+        np.zeros((0, 4), np.int32),
+    )
+    np.testing.assert_allclose(
+        np.array(color), np.broadcast_to(bg.reshape(1, 3, 1, 1),
+                                         (B, 3, H, W)), atol=1e-7)
+    np.testing.assert_allclose(np.array(depth), 1.0, atol=1e-7)
+    assert not np.array(active).any()
+
+
+def test_empty_geometry_gradients():
+    """Differentiating through the empty-geometry paths yields zero-size
+    (hence trivially correct) gradients without raising."""
+    import jax
+    import jax.numpy as jnp
+    from dmesh_renderer_tpu import render_tri
+
+    B = 1
+    mv, proj = _identity_mats(B)
+    mv_t = jnp.asarray(np.swapaxes(mv, 1, 2))
+    proj_t = jnp.asarray(np.swapaxes(proj, 1, 2))
+    settings = TriRenderSettings(H, W, np.zeros(3, np.float32))
+
+    def loss(vcolor, fopacity):
+        c, d = render_tri(
+            jnp.zeros((5, 3)), jnp.zeros((0, 3), jnp.int32), vcolor,
+            fopacity, mv_t, proj_t, jnp.zeros((B, 5)), jnp.zeros((B, 0)),
+            settings,
+        )
+        return jnp.sum(c) + jnp.sum(d)
+
+    gv, gf = jax.grad(loss, argnums=(0, 1))(
+        jnp.zeros((5, 3)), jnp.zeros((0,)))
+    assert gv.shape == (5, 3) and gf.shape == (0,)
+    assert np.isfinite(np.array(gv)).all()

@@ -6,6 +6,7 @@ import tempfile
 import numpy as np
 import jax.numpy as jnp
 import optax
+import pytest
 
 from dmesh_renderer_tpu.models.dmesh import TriScene, init_train_state
 from dmesh_renderer_tpu.utils.checkpoint import (
@@ -35,3 +36,33 @@ def test_train_state_roundtrip():
         np.testing.assert_array_equal(np.array(a), np.array(b))
     assert type(restored) is type(state)
     assert type(restored.scene) is TriScene
+
+
+def _make_state(n_verts: int, seed: int = 0):
+    rng = np.random.RandomState(seed)
+    scene = TriScene(
+        jnp.asarray(rng.rand(n_verts, 3).astype(np.float32)),
+        jnp.asarray(rng.rand(n_verts, 3).astype(np.float32)),
+        jnp.asarray(rng.rand(3).astype(np.float32)),
+    )
+    return init_train_state(scene, optax.adam(1e-2))
+
+
+def test_restore_rejects_mismatched_shapes():
+    """A checkpoint saved from a differently-sized scene must fail loudly,
+    not unflatten into garbage (VERDICT r3 weak #6)."""
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt")
+        save_checkpoint(path, _make_state(9))
+        with pytest.raises(ValueError, match="shape"):
+            restore_checkpoint(path, _make_state(12))
+
+
+def test_restore_rejects_mismatched_leaf_count():
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt")
+        state = _make_state(9)
+        save_checkpoint(path, state)
+        # A template with a different structure: drop the optimizer state.
+        with pytest.raises(ValueError, match="leaves"):
+            restore_checkpoint(path, state.scene)
