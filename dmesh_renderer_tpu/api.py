@@ -84,6 +84,19 @@ def render_tri(
     """
     from .ops.tri import render_tri_auto
     from .validation import check_tri_inputs
+    from .torch_interop import is_torch_tensor
+
+    if any(is_torch_tensor(x) for x in (
+            verts, verts_color, faces_opacity, verts_depth, faces_intense)):
+        # Torch tensors among the differentiable inputs: route through the
+        # torch.autograd.Function bridge so `loss.backward()` works exactly
+        # as with the reference package (__init__.py:45-170) -- torch in,
+        # torch out, gradients via the stored JAX VJP.
+        from .torch_interop import render_tri_torch
+
+        return render_tri_torch(
+            verts, faces, verts_color, faces_opacity, mv_mats, proj_mats,
+            verts_depth, faces_intense, render_settings, return_aux)
 
     mv_t = _as_jax(mv_mats, jnp.float32)
     proj_t = _as_jax(proj_mats, jnp.float32)
@@ -196,6 +209,22 @@ def render_tet(
     """
     from .ops.tet import render_tet_core
     from .validation import check_tet_inputs
+    from .torch_interop import is_torch_tensor
+
+    if (any(is_torch_tensor(x) for x in (verts_color, faces_opacity))
+            and faces.shape[0] > 0 and tets.shape[0] > 0
+            and verts.shape[0] > 0):
+        # Torch tensors among the differentiable inputs (reference gradient
+        # surface: verts_color + faces_opacity, __init__.py:402-424): route
+        # through the torch.autograd.Function bridge. Empty geometry stays
+        # on the JAX fill path below (constant output, nothing to
+        # differentiate).
+        from .torch_interop import render_tet_torch
+
+        return render_tet_torch(
+            verts, faces, verts_color, faces_opacity, mv_mats, proj_mats,
+            verts_depth, faces_intense, tets, face_tets, tet_faces,
+            render_settings, return_aux)
 
     mv_t = _as_jax(mv_mats, jnp.float32)
     proj_t = _as_jax(proj_mats, jnp.float32)
@@ -262,11 +291,14 @@ class TetRenderer:
                  tets, face_tets, tet_faces):
         mv = _as_jax(mv_mats, jnp.float32)
         proj = _as_jax(proj_mats, jnp.float32)
+        # verts_color / faces_opacity pass through unconverted: they are the
+        # reference's gradient surface (__init__.py:402-424), and torch
+        # tensors must reach the autograd bridge intact.
         return render_tet(
             _as_jax(verts, jnp.float32),
             _as_jax(faces, jnp.int32),
-            _as_jax(verts_color, jnp.float32),
-            _as_jax(faces_opacity, jnp.float32),
+            verts_color,
+            faces_opacity,
             jnp.swapaxes(mv, 1, 2),
             jnp.swapaxes(proj, 1, 2),
             _as_jax(verts_depth, jnp.float32),

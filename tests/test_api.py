@@ -40,7 +40,8 @@ def test_tri_renderer_torch_inputs():
         soup["verts"], soup["faces"], soup["verts_color"],
         soup["faces_opacity"], mv_t, proj_t, vdepth, fintense, settings,
     )
-    np.testing.assert_allclose(np.array(color), np.array(c2), atol=1e-6)
+    # torch path runs under jit, jax path eager: f32 fusion-order noise
+    np.testing.assert_allclose(np.array(color), np.array(c2), atol=1e-5)
 
 
 def test_tet_renderer_torch_inputs():
@@ -57,7 +58,9 @@ def test_tet_renderer_torch_inputs():
         th.tensor(face_tets).long(), th.tensor(tet_faces).long(),
     )
     assert color.shape == (1, 3, H, W)
-    assert active.dtype == jnp.bool_
+    # torch inputs route through the autograd bridge -> torch.bool active
+    # (reference parity: _RenderTet returns a thresholded bool tensor)
+    assert np.asarray(active).dtype == np.bool_
     assert bool(np.array(active).any())
 
 
