@@ -239,6 +239,96 @@ def bench_sharded_smoke(n_tris=512, height=128, width=128):
     return err
 
 
+def bench_parity_gate():
+    """TPU-side correctness gate (VERDICT r3 weak #3): the CPU test suite
+    runs the Pallas kernels INTERPRETED (tri_binned._interpret), so a
+    regression that only manifests under Mosaic compilation would ship a
+    wrong image with a green suite. This renders small scenes on the live
+    backend every round and reports max errors in the JSON:
+
+    - tri: binned vs oracle, forward + all five gradients (one jit, scalar
+      error pulls);
+    - tet: the committed golden scene (tests/golden/tet_scene.npz,
+      generated by the f64-checked CPU path) re-rendered on the TPU;
+      color/depth/grad max-abs-err + exact active-mask equality.
+    """
+    import os
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from dmesh_renderer_tpu.ops.tri_binned import render_tri_binned
+    from dmesh_renderer_tpu.ops.tri_oracle import render_tri_oracle
+
+    out = {}
+
+    # ---- tri: binned vs oracle on the TPU ----
+    (verts, faces, vcolor, fopacity, mv_t, proj_t, inv_mv_t, inv_proj_t,
+     vdepth, fintense) = _build(2048, 1, 256, 256, seed=5)
+    args = tuple(map(jnp.asarray, (
+        verts, faces, vcolor, fopacity, mv_t, proj_t, inv_mv_t, inv_proj_t,
+        vdepth, fintense)))
+    bg = jnp.asarray(np.array([0.2, 0.1, 0.3], np.float32))
+    H = W = 256
+
+    @jax.jit
+    def tri_diffs():
+        def run(render):
+            color, depth = render(*args, bg, H, W)
+
+            def loss(verts, vc, fo, vd, fi):
+                c, d = render(verts, args[1], vc, fo, args[4], args[5],
+                              args[6], args[7], vd, fi, bg, H, W)
+                t = jnp.cos(jnp.arange(c.size, dtype=jnp.float32)
+                            ).reshape(c.shape)
+                td = jnp.sin(jnp.arange(d.size, dtype=jnp.float32)
+                             ).reshape(d.shape)
+                return jnp.sum(c * t) + jnp.sum(d * td)
+
+            grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+                args[0], args[2], args[3], args[8], args[9])
+            return (color, depth) + grads
+
+        o = run(lambda *a: render_tri_oracle(*a))
+        b = run(lambda *a: render_tri_binned(*a))
+        errs = []
+        for x, y in zip(o, b):
+            scale = jnp.maximum(1.0, jnp.max(jnp.abs(x)))
+            errs.append(jnp.max(jnp.abs(x - y)) / scale)
+        return jnp.stack(errs)
+
+    errs = np.array(tri_diffs())
+    names = ("color", "depth", "g_verts", "g_vcolor", "g_fopacity",
+             "g_vdepth", "g_fintense")
+    out["tri_parity_max_rel_err"] = float(f"{errs.max():.3g}")
+    out["tri_parity_worst"] = names[int(errs.argmax())]
+    out["tri_parity_ok"] = bool(errs.max() < 2e-4)
+
+    # ---- tet: golden scene re-rendered on the TPU ----
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    import test_tet_spec as tts
+
+    golden = dict(np.load(tts.GOLDEN))
+    sc = tts._scene()
+    c, d, act, g_vc, g_fo, _wc, _wd = tts._jax_render_and_grads(sc)
+    errs_t = {
+        "color": np.abs(c - golden["color"]).max(),
+        "depth": np.abs(d - golden["depth"]).max(),
+        "g_vcolor": np.abs(g_vc - golden["g_vcolor"]).max(),
+        "g_fopacity": np.abs(g_fo - golden["g_fopacity"]).max(),
+    }
+    worst = max(errs_t, key=errs_t.get)
+    out["tet_golden_max_abs_err"] = float(f"{errs_t[worst]:.3g}")
+    out["tet_golden_worst"] = worst
+    out["tet_golden_active_exact"] = bool(
+        np.array_equal(act, golden["active"]))
+    out["tet_golden_ok"] = bool(errs_t[worst] < 2e-4
+                                and out["tet_golden_active_exact"])
+    return out
+
+
 def _backend_watchdog(timeout_s=600):
     """The axon remote backend can HANG (not fail) in make_c_api_client
     when its tunnel is down (observed 2026-08-17, >4 h outage). Probe
@@ -303,11 +393,22 @@ def main():
     except Exception as e:
         extra["tri_b2_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
+        # tet multi-view scaling point (VERDICT r3): B=2 per-view cost,
+        # confirming the scatter target-size cliff stays fixed at B>1
+        tet_ms2, _ = bench_tet_scaled(n_views=2, chain=2, iters=2)
+        extra["tet_ms_per_view_B2"] = round(tet_ms2, 3)
+    except Exception as e:
+        extra["tet_b2_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
         err = bench_sharded_smoke()
         extra["sharded_smoke_max_abs_err"] = float(f"{err:.3g}")
         extra["sharded_smoke_ok"] = bool(err < 1e-4)
     except Exception as e:
         extra["sharded_smoke_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        extra.update(bench_parity_gate())
+    except Exception as e:
+        extra["parity_gate_error"] = f"{type(e).__name__}: {e}"[:200]
     result["extra"] = extra
     print(json.dumps(result))
 
