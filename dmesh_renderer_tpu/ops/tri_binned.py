@@ -138,6 +138,20 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _bwd_nocond() -> bool:
+    """Run the backward heavy path unconditionally (DMRT_BWD_NOCOND,
+    default ON since round 4).
+
+    The heavy path is fully masked (records multiply through mf, state
+    updates through jnp.where), so for a dead visit it computes exactly
+    the skip path's zeros -- the lax.cond was purely a perf choice, and
+    the A/B settled it: the per-visit branch + 11-carry state plumbing
+    cost MORE than the masked math it skipped on the ~39% dead visits
+    (62.0 -> 54.7 ms/frame at the bench scene, v5e, 2026-08-19). The
+    cond path stays for A/B (DMRT_BWD_NOCOND=0)."""
+    return os.environ.get("DMRT_BWD_NOCOND", "1") == "1"
+
+
 # When True, the backward rebuilds the [cap, 128] slot attribute table from
 # the (F-scale) face table + saved keys instead of keeping it as a
 # custom_vjp residual: trades one slot-scale row gather (~9 ms at bench
@@ -780,6 +794,10 @@ def _bwd_kernel(edge_i32, starts_ref, ends_ref, *rest):
                 zero_row(j)
                 return op
 
+            if _bwd_nocond():
+                # heavy is fully masked: dead visits compute the skip
+                # path's exact zeros (see _bwd_nocond)
+                return heavy(st)
             return lax.cond(jnp.any(active), heavy, skip, st)
 
         st = (T, first, la, lr, lg, lb, ld, ar, ag, ab, ad)
