@@ -1245,6 +1245,11 @@ def _b_bwd(height, width, kcap, with_aux, run_cap, res, cots):
         # verts_color[faces] gather + einsum cost ~3 ms for the same
         # quantity: vc_rec[k,c] = sum_p i_k dL_dicolor_c and
         # icol_raw_c = sum_k i_k c_attr[k,c].
+        # (measured round 4: scattering by ORIGINAL ids through a
+        # walked-scale sigma gather to skip the B*F un-permute below is a
+        # WASH at the bench scene -- the unique-index permutation scatter
+        # is as cheap as the gather it would replace; kept this form for
+        # the cheaper full-capacity fallback)
         def mk_small(r, take):
             gin = jnp.einsum("cj,cj->c", take(attr_tab)[:, _C0:_C0 + 9],
                              r[:, _G_VC:_G_VC + 9])
