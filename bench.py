@@ -376,8 +376,11 @@ def bench_roofline(tri_total_ms, tet_total_ms):
     stage("tri_attr_gather", max(t_attr - t_emit, 0.0),
           cap * ROW_NS + 2 * n_tris * ROW_NS, cap,
           hbm_bytes=cap * tb.NA * 4 * 2)
+    # fwd kernel visits are bounded by the per-tile early exit, not the
+    # emitted count -- the walked prefix is the honest lower-bound event
+    # count (the kernel may walk somewhat past it before all pixels done)
     stage("tri_fwd_kernel", max(t_fwdk - t_attr, 0.0),
-          emitted * 60 * VEC_NS, emitted)
+          walked * 60 * VEC_NS, walked)
     t_bwd = max(tri_total_ms - t_fwdk, 0.0)
     # bwd kernel + record reduce together (kernel/reduce split lives in
     # tools/profile_bwd_split.py); floor: coverage on all walked visits,
@@ -385,7 +388,13 @@ def bench_roofline(tri_total_ms, tet_total_ms):
     stage("tri_bwd_total", t_bwd,
           walked * (55 + 0.61 * 220) * VEC_NS + 2 * walked * ROW_NS,
           walked)
-    tri_floor = sum(stages[k]["model_floor_ms"] for k in stages)
+    # summary floor clamps each stage's model floor to its measurement:
+    # a stage where the model exceeds the measurement means the model
+    # overestimates that stage's necessary work (stage deltas on the
+    # shared remote chip carry a few ms of run-to-run variance), and an
+    # overestimate must not launder into "we beat the roofline"
+    tri_floor = sum(min(stages[k]["model_floor_ms"], stages[k]["ms"])
+                    for k in stages)
     stages["tri_summary"] = {
         "total_ms": round(tri_total_ms, 2),
         "model_floor_ms": round(tri_floor, 2),
@@ -453,8 +462,10 @@ def bench_roofline(tri_total_ms, tet_total_ms):
     tet_events, tet_steps = (float(x) for x in tet_counts())
     M = 800 * 800
 
+    # first-hit floor: attr gather rows + the slot sort + the kernel's
+    # per-slot-visit vector work ((8,128)-block ops, ~40/visit)
     stage("tet_first_hit", ms_fh,
-          2 * tkcap * ROW_NS + tkcap * 2 * SORT_NS + M * 20 * VEC_NS,
+          tkcap * ROW_NS + tkcap * 2 * SORT_NS + tkcap * 40 * VEC_NS,
           tkcap)
     # march floor: per full-width step one M-row mega gather (measured
     # spatially-coherent ~3 ns/row here, credited at that rate) + the
@@ -462,10 +473,10 @@ def bench_roofline(tri_total_ms, tet_total_ms):
     steps_full = min(tet_steps, 11.0)
     march_rows = steps_full * M + max(tet_steps - steps_full, 0) * M / 8
     march_bytes = march_rows * 96 * 4 * 3  # gather out + relayout in/out
-    # 819 GB/s == 0.819 B/ns, so t_ns = bytes / 0.819; the march is
-    # gather- and traffic-dominated (kernel+log ride the same streams)
+    # 819 GB/s == 819 B/ns, so t_ns = bytes / 819; the march is gather-
+    # and traffic-dominated (kernel+log ride the same streams)
     stage("tet_march", max(ms_fwd - ms_fh, 0.0),
-          march_rows * 3.0 + march_bytes / (HBM_GBS / 1e3),
+          march_rows * 3.0 + march_bytes / HBM_GBS,
           tet_events)
     ms_replay = max(tet_total_ms - ms_fwd, 0.0)
     # replay floor: per reduce batch an R*bk1-row survivor scatter + the
@@ -473,9 +484,9 @@ def bench_roofline(tri_total_ms, tet_total_ms):
     n_batches = float(np.ceil(tet_steps / 6.0))
     stage("tet_replay", ms_replay,
           n_batches * (480_000 * ROW_NS + 2.4e6), tet_events)
-    tet_floor = (stages["tet_first_hit"]["model_floor_ms"]
-                 + stages["tet_march"]["model_floor_ms"]
-                 + stages["tet_replay"]["model_floor_ms"])
+    tet_floor = sum(
+        min(stages[k]["model_floor_ms"], stages[k]["ms"])
+        for k in ("tet_first_hit", "tet_march", "tet_replay"))
     stages["tet_summary"] = {
         "total_ms": round(tet_total_ms, 2),
         "model_floor_ms": round(tet_floor, 2),
