@@ -472,18 +472,24 @@ def bench_roofline(tri_total_ms, tet_total_ms):
     # relayout+log HBM traffic + ~120 kernel vector ops per ray-step
     steps_full = min(tet_steps, 11.0)
     march_rows = steps_full * M + max(tet_steps - steps_full, 0) * M / 8
-    march_bytes = march_rows * 96 * 4 * 3  # gather out + relayout in/out
-    # 819 GB/s == 819 B/ns, so t_ns = bytes / 819; the march is gather-
-    # and traffic-dominated (kernel+log ride the same streams)
+    # traffic: mega gather out + relayout in/out + the kernel's
+    # consts/state/log streams (~60 f32 cols in + ~40 out per ray-step)
+    march_bytes = march_rows * (96 * 4 * 3 + 100 * 4)
+    # 819 GB/s == 819 B/ns, so t_ns = bytes / 819; spatially-coherent
+    # mega gathers measured ~3 ns/row (tools/profile_march_step.py)
     stage("tet_march", max(ms_fwd - ms_fh, 0.0),
           march_rows * 3.0 + march_bytes / HBM_GBS,
           tet_events)
     ms_replay = max(tet_total_ms - ms_fwd, 0.0)
-    # replay floor: per reduce batch an R*bk1-row survivor scatter + the
-    # HIGHEST one-hot dot (measured 2.4 ms/batch) + log re-read traffic
+    # replay floor: per reduce batch an R*bk1-row survivor scatter (at
+    # the SHAPE-measured ~20 ns/row -- tools/exp_absorber.py; the generic
+    # 12.5 is optimistic for [480k, 10] into [F+1, 10]) + the HIGHEST
+    # one-hot dot (measured 2.4 ms/batch) + log re-read traffic
     n_batches = float(np.ceil(tet_steps / 6.0))
     stage("tet_replay", ms_replay,
-          n_batches * (480_000 * ROW_NS + 2.4e6), tet_events)
+          n_batches * (480_000 * 20.0 + 2.4e6)
+          + tet_steps * M * 10 * 4 / HBM_GBS,
+          tet_events)
     tet_floor = sum(
         min(stages[k]["model_floor_ms"], stages[k]["ms"])
         for k in ("tet_first_hit", "tet_march", "tet_replay"))

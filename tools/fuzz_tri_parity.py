@@ -107,7 +107,23 @@ def check_config(seed):
     e_c = float(jnp.max(jnp.abs(cb - co)))
     e_d = float(jnp.max(jnp.abs(db - do_)))
     if e_c > FWD_ATOL or e_d > FWD_ATOL:
-        errs.append(f"fwd color={e_c:.2e} depth={e_d:.2e}")
+        # spec arbitration, same rule as grads: extreme near-plane
+        # geometry gives BOTH f32 paths legitimate rounding of a few e-5;
+        # fail only if the binned image is materially farther from the
+        # f64 truth than the oracle is (r4: seeds 2003/2033 showed the
+        # ORACLE 4-6x farther from the spec than the binned path)
+        cs, ds = spec_forward(args, h, w)
+        e_bo = max(np.abs(np.array(cb) - cs).max(),
+                   np.abs(np.array(db) - ds).max())
+        e_oo = max(np.abs(np.array(co) - cs).max(),
+                   np.abs(np.array(do_) - ds).max())
+        if e_bo > SPEC_SLACK * max(e_oo, FWD_ATOL / 2):
+            errs.append(f"fwd color={e_c:.2e} depth={e_d:.2e} "
+                        f"(spec: binned={e_bo:.2e} oracle={e_oo:.2e})")
+        else:
+            print(f"  [spec-arbitrated] fwd: binned-vs-oracle "
+                  f"color={e_c:.2e} depth={e_d:.2e}; vs f64 spec "
+                  f"binned={e_bo:.2e} oracle={e_oo:.2e}", flush=True)
 
     def loss(render):
         def f(verts, vcolor, fo, vdepth, fint):
@@ -147,6 +163,24 @@ def check_config(seed):
                       f"binned={e_b:.2e} oracle={e_o:.2e}", flush=True)
 
     return label, errs
+
+
+def spec_forward(args, h, w):
+    """f64 ground-truth forward images from the scalar executable spec
+    (same BIN_TILE grid note as spec_grads)."""
+    import numpy_reference as spec
+
+    from dmesh_renderer_tpu.utils.config import BIN_TILE
+
+    v, faces, vcolor, fo = (np.asarray(a) for a in args[:4])
+    mv_t, proj_t = np.asarray(args[4]), np.asarray(args[5])
+    vdepth, fint, bg = (np.asarray(a) for a in args[8:11])
+    c, d, _aux = spec.render_tri_np(
+        v.astype(np.float64), faces, vcolor.astype(np.float64),
+        fo.astype(np.float64), mv_t.astype(np.float64),
+        proj_t.astype(np.float64), vdepth.astype(np.float64),
+        fint.astype(np.float64), bg.astype(np.float64), h, w, tile=BIN_TILE)
+    return np.asarray(c), np.asarray(d)
 
 
 def spec_grads(args, h, w):
