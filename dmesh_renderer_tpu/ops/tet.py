@@ -1099,7 +1099,13 @@ REPLAY_REDUCE_BATCH = 6
 # count exceeds the budget -- falls back to the full-width scatter under
 # lax.cond: records are never dropped.
 REPLAY_BLOCK_K1 = 16
-REPLAY_BLOCK_K = 48
+# Total per-block budget. The pass-2 scatter is (R/OVF_FRAC)*(K - K1)
+# rows, so K prices the overflow pass directly: the bench scene's worst
+# block holds 26 runs (p99 19 -- tools/exp_block_runstats.py, r4), so 32
+# keeps a margin while halving pass-2 rows vs the former 48. A scene
+# whose worst block exceeds K falls back to the full-width scatter under
+# the existing lax.cond -- slower, never wrong.
+REPLAY_BLOCK_K = 32
 REPLAY_OVF_FRAC = 8
 
 # Batches covering the walk's tail are mostly DEAD at block granularity

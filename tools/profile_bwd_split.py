@@ -99,7 +99,7 @@ def main():
             B * faces.shape[0], mk_small)
         return face_g_sorted, keys.sigma, color
 
-    def finalize_manual(fo):
+    def finalize_manual(fo, upto="all"):
         face_g_sorted, sigma, color = reduce_too(fo)
         F = faces.shape[0]
         P = verts.shape[0]
@@ -107,6 +107,8 @@ def main():
             jnp.zeros((B * F, tb.NG_USED + 1), jnp.float32)
             .at[sigma].set(face_g_sorted, unique_indices=True)
             .reshape(B, F, tb.NG_USED + 1))
+        if upto == "unperm":
+            return (face_g, color)
         g_fopacity = jnp.sum(face_g[..., tb._G_ALPHA], axis=0)
         g_fintense = face_g[..., tb.NG_USED]
         gp = jnp.sum(face_g[..., tb._G_P:tb._G_P + 9], axis=0).reshape(F, 3, 3)
@@ -116,6 +118,8 @@ def main():
         gvd = face_g[..., tb._G_VD:tb._G_VD + 3]
         nw = max(17, 6 + B)  # scatter width cliff: tools/exp_scatter_width.py
         upd = jnp.concatenate([gp, gvc, gvd.transpose(1, 2, 0)], axis=-1)
+        if upto == "viewsums":
+            return (upd, g_fopacity, g_fintense, color)
         upd = jnp.pad(upd, ((0, 0), (0, 0), (0, nw - (6 + B))))
         acc = jnp.zeros((P, nw), jnp.float32).at[faces].add(upd)
         return (acc, g_fopacity, g_fintense, color)
@@ -146,10 +150,13 @@ def main():
     t0 = timed("fwd (product)", fwd_product)
     t1 = timed("+ bwd kernel", bwd_kernel_only)
     t2 = timed("+ record reduce", reduce_too)
+    t2u = timed("+ unperm", lambda fo: finalize_manual(fo, "unperm"))
+    t2v = timed("+ view sums", lambda fo: finalize_manual(fo, "viewsums"))
     t2b = timed("+ finalize (manual)", finalize_manual)
     t3 = timed("full fwd+bwd", full_bwd)
     print(f"\nbwd kernel: {t1-t0:6.2f}  reduce: {t2-t1:6.2f}  "
-          f"finalize: {t2b-t2:6.2f}  vjp glue: {t3-t2b:6.2f}")
+          f"unperm: {t2u-t2:6.2f}  viewsums: {t2v-t2u:6.2f}  "
+          f"vscatter: {t2b-t2v:6.2f}  vjp glue: {t3-t2b:6.2f}")
 
 
 if __name__ == "__main__":
