@@ -40,7 +40,7 @@ def _build(n_tris, n_views, height, width, seed=0):
 
 
 def bench_tri_scaled(n_tris=100_000, height=800, width=800, n_views=1,
-                     iters=3, kcap=None, chain=4):
+                     iters=3, kcap=None, chain=16):
     # kcap=None: measured from the scene by recommended_key_capacity
     # (F-scale count pass, bucket-rounded) -- no hand tuning; the scene
     # emits 770,003 exact-coverage pairs. Every slot-scale stage (emit
@@ -58,7 +58,10 @@ def bench_tri_scaled(n_tris=100_000, height=800, width=800, n_views=1,
     batch or elide them) -- this amortizes the fixed per-dispatch host
     round-trip of the remote TPU runtime (~28 ms) the way a real training
     loop does (models/dmesh.make_train_loop). The reported number is
-    ms per fwd+bwd frame.
+    ms per fwd+bwd frame; the residual dispatch share is ~28/chain ms of
+    it (chain=16 leaves < 2 ms -- rounds 1-3 ran chain=4, which left ~7 ms
+    of dispatch in every headline, so cross-round ratios slightly
+    UNDERSTATE the true compute gains).
     """
     import jax
     import jax.numpy as jnp
@@ -117,12 +120,15 @@ def bench_tri_scaled(n_tris=100_000, height=800, width=800, n_views=1,
 
 
 def bench_tet_scaled(n_grid=20, height=800, width=800, n_views=1, iters=3,
-                     chain=2):
+                     chain=8):
     """Tet renderer fwd+bwd ms/frame at north-star scale: a Freudenthal
     tessellation with ~98k faces (48k tets) rendered at 800x800.
 
     Gradients for verts_color + faces_opacity (the only gradients the tet
-    renderer produces, render.h:84-111)."""
+    renderer produces, render.h:84-111). ``chain`` as in bench_tri_scaled:
+    rounds 1-3 ran chain=2, leaving ~14 ms of pure per-dispatch host
+    round-trip inside every historical tet headline; chain=8 leaves
+    ~3.5 ms."""
     import jax
     import jax.numpy as jnp
 
@@ -643,7 +649,15 @@ def main():
             "the v5e-8 figure remains a projection from single-chip "
             "numbers until multi-chip hardware exists"),
     }
-    extra = {}
+    extra = {
+        # in-jit training-chain lengths (lax.scan): the per-dispatch host
+        # round-trip of the remote runtime (~28 ms) is amortized over the
+        # chain, leaving ~28/chain ms inside each reported frame. Rounds
+        # 1-3 used tri chain=4 / tet chain=2 (~7 / ~14 ms of dispatch in
+        # their headlines), so historical ratios understate compute gains.
+        "tri_chain": 16,
+        "tet_chain": 8,
+    }
     try:
         tet_ms, tet_faces_n = bench_tet_scaled()
         extra["tet_fwd_bwd_ms_per_frame_98k_faces_800px"] = round(tet_ms, 3)
@@ -653,14 +667,14 @@ def main():
     try:
         # multi-view scaling point (BASELINE.md config 5): B=2 is the
         # single-chip sweet spot the v5e-8 projection leans on
-        ms2 = bench_tri_scaled(n_views=2, chain=2, iters=2)
+        ms2 = bench_tri_scaled(n_views=2, chain=8, iters=2)
         extra["tri_ms_per_view_B2"] = round(ms2, 3)
     except Exception as e:
         extra["tri_b2_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
         # tet multi-view scaling point (VERDICT r3): B=2 per-view cost,
         # confirming the scatter target-size cliff stays fixed at B>1
-        tet_ms2, _ = bench_tet_scaled(n_views=2, chain=2, iters=2)
+        tet_ms2, _ = bench_tet_scaled(n_views=2, chain=4, iters=2)
         extra["tet_ms_per_view_B2"] = round(tet_ms2, 3)
     except Exception as e:
         extra["tet_b2_error"] = f"{type(e).__name__}: {e}"[:200]

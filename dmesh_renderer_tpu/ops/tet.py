@@ -201,14 +201,20 @@ def _march_tables(verts, faces, tets, tet_faces, face_tets, verts_color,
     (forward.cu:761-768: first entry that is neither curr_tet nor -1) into
     the table: nbr[t, j] is exactly that selection for tet t's slot j.
 
-    Round 3 adds ``mega [B*T, 96]``: tet_pack (cols 0-47) plus the shade
-    rows of the tet's 4 slot faces (cols 48+12j..59+12j). The forward march
-    gathers ONE mega row per step keyed by the gather tet and selects the
-    entry slot's shade in-kernel (the entry face is always one of the
-    gather tet's faces) -- the per-step glue is gather-ROW-count-bound
-    (~10-15 ns/row regardless of width, tools/exp_march_variants.py), so
-    merging the two per-step gathers into one nearly halves it.
-    ``tet_pack``/``shade`` remain for the marching backward fallback.
+    Round 3 added ``mega [B*T, 96]``: tet_pack plus the shade rows of the
+    tet's 4 slot faces, gathered as ONE row per step keyed by the gather
+    tet (the per-step glue is gather-ROW-count-bound, ~10-15 ns/row
+    regardless of width, tools/exp_march_variants.py). Round 4 replaces it
+    with the ENTRY-SLOT-indexed ``mega [B*T*4, 64]``: row ``tet*4 + slot``
+    carries the tet's pack (cols 0-47), the per-slot MIRROR indices (cols
+    48-51: the slot of face ``tet_faces[t, j]`` inside its neighbor tet,
+    so the kernel can emit the next gather index directly) and ONLY the
+    entry face's shade (cols 52-63). Gather rows are unchanged; the row
+    WIDTH drops 96 -> 64, which is pure relayout + kernel-DMA traffic
+    saved (~0.3 ms/step at the bench scene), and the kernel drops the
+    4-way entry-slot shade selection (12 masked 4-term sums -> 12 direct
+    reads). ``tet_pack``/``shade`` remain for the marching backward
+    fallback.
     """
     F = faces.shape[0]
     T = tets.shape[0]
@@ -266,10 +272,23 @@ def _march_tables(verts, faces, tets, tet_faces, face_tets, verts_color,
         axis=-1,
     ).reshape(B * F, 12)
 
-    shade_bt = shade.reshape(B, F, 12)[:, tf].reshape(B, T, 48)
+    # mirror[t, j]: slot of face tf[t, j] within its neighbor tet
+    # nbr[t, j] (0 when there is no neighbor; the kernel then uses the
+    # exiting tet's own slot, so the value is never consumed)
+    tfn = tf[jnp.maximum(nbr, 0)]  # [T, 4, 4]
+    mirror = jnp.argmax(
+        (tfn == tf[:, :, None]).astype(jnp.int32), axis=-1
+    ).astype(jnp.float32)  # [T, 4]
+
+    shade_bt = shade.reshape(B, F, 12)[:, tf]  # [B, T, 4, 12]
+    pack52 = jnp.concatenate([tet_pack, mirror], axis=1)  # [T, 52]
     mega = jnp.concatenate(
-        [jnp.broadcast_to(tet_pack[None], (B, T, 48)), shade_bt], axis=-1
-    ).reshape(B * T, 96)
+        [
+            jnp.broadcast_to(pack52[None, :, None, :], (B, T, 4, 52)),
+            shade_bt,
+        ],
+        axis=-1,
+    ).reshape(B * T * 4, 64)
     return {"tet_pack": tet_pack, "shade": shade, "geo": geo, "sign": sign,
             "mega": mega}
 
@@ -347,7 +366,8 @@ def _projective_zw(ro, rd, mv_t, proj_t, n, m):
     return phoz, phow, phdz, phdw
 
 
-def _connectivity_step(pcol, cf, ox, oy, oz, dx, dy, dz, direction):
+def _connectivity_step(pcol, cf, ox, oy, oz, dx, dy, dz, direction,
+                       with_slots=False):
     """One connectivity step of the march on (rows, 128) vectors (runs
     INSIDE the Pallas march kernels; pcol(c) reads tet-pack column c).
 
@@ -356,14 +376,21 @@ def _connectivity_step(pcol, cf, ox, oy, oz, dx, dy, dz, direction):
     direction=-1: backward walk (signs flipped) -- backward.cu:372-484.
 
     cf is the current face id as exact f32. Returns (err, next_face,
-    next_tet, next_t, next_u, next_v); err marks the reference's
-    invariant violations (cases 1-3). The reference keeps the LAST
-    matching exit candidate in slot order and falls back to slot 0 when
-    none match (the err lanes' values are never consumed)."""
+    next_tet, next_t, next_u, next_v[, next_slot, own_slot]); err marks
+    the reference's invariant violations (cases 1-3). The reference keeps
+    the LAST matching exit candidate in slot order and falls back to
+    slot 0 when none match (the err lanes' values are never consumed).
+
+    ``with_slots`` (forward mega path): also select the exit face's
+    MIRROR slot inside the neighbor tet (pack col 48+j, _march_tables)
+    and the exit face's own slot j, so the caller can emit the next
+    entry-slot gather index ``nt*4 + next_slot`` (or ``ct*4 + own_slot``
+    at a boundary) without any id lookup."""
     n_other = jnp.zeros_like(dx)
     n_exit = jnp.zeros_like(dx)
     d_entry = jnp.zeros_like(dx)
     nt_ = nu_ = nv_ = nface = ntet = None
+    nslot = jown = None
 
     for j in range(4):
         p0x, p0y, p0z = pcol(9 * j + 0), pcol(9 * j + 1), pcol(9 * j + 2)
@@ -411,17 +438,26 @@ def _connectivity_step(pcol, cf, ox, oy, oz, dx, dy, dz, direction):
 
         if j == 0:
             nt_, nu_, nv_, nface, ntet = t, u, v, tfj, nbj
+            if with_slots:
+                nslot = pcol(48)
+                jown = jnp.zeros_like(tfj)
         else:
             nt_ = jnp.where(ex, t, nt_)
             nu_ = jnp.where(ex, u, nu_)
             nv_ = jnp.where(ex, v, nv_)
             nface = jnp.where(ex, tfj, nface)
             ntet = jnp.where(ex, nbj, ntet)
+            if with_slots:
+                nslot = jnp.where(ex, pcol(48 + j), nslot)
+                jown = jnp.where(ex, jnp.float32(j), jown)
 
     err1 = n_other != 3.0  # error case 1 (forward.cu:687-691)
     err2 = d_entry >= 0.0 if direction > 0 else d_entry <= 0.0
     err3 = n_exit != 1.0  # error case 3 (forward.cu:755-759)
-    return err1 | err2 | err3, nface, ntet, nt_, nu_, nv_
+    err = err1 | err2 | err3
+    if with_slots:
+        return err, nface, ntet, nt_, nu_, nv_, nslot, jown
+    return err, nface, ntet, nt_, nu_, nv_
 
 
 # Forward kernel state rows ([M/128, NSF, 128]; ids/flags/counters as
@@ -470,11 +506,12 @@ def _fwd_march_kernel(mega_ref, consts_ref, state_ref, out_ref):
     face -- the entire body of forward.cu:595-788 in ONE fused pass.
 
     All per-ray state rides in f32 rows (see _K_* indices); the XLA side
-    does the single mega-table gather (keyed by _K_GT) and the int<->f32
-    id conversions. The current face's shade columns are selected from the
-    gather tet's 4 slots in-kernel (the entry face is one of them by the
-    walk invariant), and the per-step blend quantities are appended as
-    _NLOG log rows for the replay backward."""
+    does the single mega-table gather (keyed by _K_GT, an ENTRY-SLOT
+    index ``tet*4 + slot`` into the [B*T*4, 64] mega table) and the
+    int<->f32 id conversions. The entry face's shade columns sit directly
+    at cols 52-63 of the gathered row (no 4-way slot selection), and the
+    per-step blend quantities are appended as _NLOG log rows for the
+    replay backward."""
     s = lambda r: state_ref[:, r, :]
     c = lambda r: consts_ref[:, r, :]
     m = lambda k: mega_ref[:, k, :]
@@ -482,13 +519,10 @@ def _fwd_march_kernel(mega_ref, consts_ref, state_ref, out_ref):
     cf, ct = s(_K_CF), s(_K_CT)
     u0, v0, t0 = s(_K_U), s(_K_V), s(_K_T)
 
-    # --- 1. blend current face (forward.cu:597-653); shade columns come
-    # from the entry slot of the gather tet (ids are exact f32) ---
-    isf = [(m(40 + j) == cf).astype(jnp.float32) for j in range(4)]
-
+    # --- 1. blend current face (forward.cu:597-653); the gathered row IS
+    # the (tet, entry slot) row, so shade reads are direct ---
     def shade_col(col):
-        return (isf[0] * m(48 + col) + isf[1] * m(60 + col)
-                + isf[2] * m(72 + col) + isf[3] * m(84 + col))
+        return m(52 + col)
 
     alpha = shade_col(9)
     l1a = shade_col(10)
@@ -520,9 +554,10 @@ def _fwd_march_kernel(mega_ref, consts_ref, state_ref, out_ref):
 
     # --- 3. walk to the next face (forward.cu:672-775) ---
     walk = alive & ~newly_done
-    err, nf, nt, t2, u2, v2 = _connectivity_step(
+    err, nf, nt, t2, u2, v2, nslot, jown = _connectivity_step(
         m, cf,
-        c(_C_OX), c(_C_OY), c(_C_OZ), c(_C_DX), c(_C_DY), c(_C_DZ), +1)
+        c(_C_OX), c(_C_OY), c(_C_OZ), c(_C_DX), c(_C_DY), c(_C_DZ), +1,
+        with_slots=True)
     newly_done = newly_done | (walk & err)
     advance = walk & ~err
 
@@ -544,10 +579,15 @@ def _fwd_march_kernel(mega_ref, consts_ref, state_ref, out_ref):
     out_ref[:, _K_ACT, :] = active.astype(jnp.float32)
     out_ref[:, _K_DONE, :] = ((s(_K_DONE) != 0.0)
                               | newly_done).astype(jnp.float32)
-    # the next step must gather the tet that contains the NEW current face:
-    # the neighbor when one exists, else the tet being exited (boundary)
+    # the next step must gather the (tet, entry slot) row of the NEW
+    # current face: the neighbor's mirror slot when a neighbor exists,
+    # else the exit face's own slot of the tet being exited (boundary --
+    # its final blend still needs that face's shade). ids < 2^22 so the
+    # f32 multiply-add is exact.
     out_ref[:, _K_GT, :] = jnp.where(
-        advance, jnp.where(nt >= 0.0, nt, ct), s(_K_GT))
+        advance,
+        jnp.where(nt >= 0.0, nt * 4.0 + nslot, ct * 4.0 + jown),
+        s(_K_GT))
 
     # --- 4. march log slab for the replay backward (masked to this step's
     # blends; dead lanes log cf -1 -> dropped key) ---
@@ -673,7 +713,7 @@ def _run_fwd_march(mega_t, consts_t, state_t):
         _fwd_march_kernel,
         grid=(g // bq,),
         in_specs=[
-            pl.BlockSpec((bq, 96, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bq, 64, 128), lambda i: (i, 0, 0)),
             pl.BlockSpec((bq, 10, 128), lambda i: (i, 0, 0)),
             pl.BlockSpec((bq, _NSF2, 128), lambda i: (i, 0, 0)),
         ],
@@ -736,7 +776,7 @@ def _phased_fwd_march(state_t, consts_t, tbase, mega, log_depth, max_steps):
         def body(c):
             s, log, step = c
             gt = s[:, _K_GT, :].reshape(-1).astype(jnp.int32)
-            mega_t = _relayout(mega[tb + gt], 96)
+            mega_t = _relayout(mega[tb + gt], 64)
             out = _run_fwd_march(mega_t, cst, s)
             log = lax.dynamic_update_slice(
                 log, out[None, :, _NSF2:, :],
@@ -986,7 +1026,9 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         return x
 
     T_n = tets.shape[0]
-    tbase = jnp.minimum(jnp.arange(M, dtype=jnp.int32) // N, B - 1) * T_n
+    # per-ray view offset into the entry-slot mega table [B*T*4, 64]
+    tbase = jnp.minimum(jnp.arange(M, dtype=jnp.int32) // N, B - 1) \
+        * (4 * T_n)
 
     ro = _flat_cols(flat(ray_o), 3)
     rd = _flat_cols(flat(ray_d), 3)
@@ -1004,17 +1046,21 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
     tfs = jnp.concatenate(
         [tet_faces.astype(jnp.float32), march["sign"]], axis=1)  # [T, 8]
     first_tet = jnp.full((M,), -1, jnp.int32)
+    first_slot = jnp.zeros((M,), jnp.int32)
     ff_f = ffF.astype(jnp.float32)
     for i in range(2):
         cand = ftc[i].astype(jnp.int32)
         c8 = _gather_cols(tfs, jnp.maximum(cand, 0), 8)
-        # at most one slot of a tet carries first_face, so the masked sum
-        # extracts that slot's sign exactly
+        # at most one slot of a tet carries first_face, so the masked sums
+        # extract that slot's sign (and index) exactly
         sgn = sum(jnp.where(c8[j] == ff_f, c8[4 + j], 0.0)
                   for j in range(4))
+        slt = sum(jnp.where(c8[j] == ff_f, j, 0)
+                  for j in range(1, 4))
         opposes = sgn * ndot_ff < 0.0
         take = (cand >= 0) & opposes & (ffF >= 0)
         first_tet = jnp.where(take, cand, first_tet)
+        first_slot = jnp.where(take, slt, first_slot)
 
     done0 = (ffF == -1) | (first_tet == -1)
 
@@ -1037,7 +1083,9 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         zero,                        # n_contrib
         zero,                        # active
         f32(done0 | (jnp.arange(M) >= M0)),
-        f32(jnp.maximum(first_tet, 0)),  # gather tet (_K_GT)
+        # gather index (_K_GT): entry-slot row of the first face within
+        # the first tet (done lanes gather row 0, masked in-kernel)
+        f32(jnp.maximum(first_tet * 4 + first_slot, 0)),
     ])
 
     # Phased lockstep march: full width while most rays live, compacted

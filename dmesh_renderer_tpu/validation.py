@@ -62,7 +62,8 @@ def check_tet_inputs(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
          f"face_tets must be [F,2]=({F},2), got {face_tets.shape}")
     _chk(tet_faces.shape == (T, 4),
          f"tet_faces must be [T,4]=({T},4), got {tet_faces.shape}")
-    # tet ids ride in f32-exact march-table columns (tet._march_tables)
-    _chk(T < (1 << 24),
-         f"at most 2^24-1 tets supported (ids ride in f32-exact march "
-         f"tables), got T={T}")
+    # tet ids ride in f32-exact march-table columns, and the forward
+    # march's gather index is tet*4 + entry_slot (tet._march_tables)
+    _chk(T < (1 << 22),
+         f"at most 2^22-1 tets supported (entry-slot gather indices "
+         f"tet*4+slot ride in f32-exact march tables), got T={T}")

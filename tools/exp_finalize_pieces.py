@@ -92,5 +92,63 @@ def main():
     print(f"(dispatch baseline {base:.2f} ms is included in every row)")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("DMRT_VARIANTS"):
     main()
+
+
+def variants():
+    """Scatter-form variants at the in-context shapes: the production
+    finalize measures ~4.15 ms for the [F,3,17] .at[faces].add into
+    [300k, 17] while the standalone form above is ~1.8. Probe whether the
+    3-D index form, the pad, or the target width is responsible."""
+    import jax
+    import jax.numpy as jnp
+    import time
+
+    F, P, B = 100_000, 300_000, 1
+    rng = np.random.RandomState(0)
+    faces = jnp.asarray(np.arange(3 * F, dtype=np.int32).reshape(F, 3))
+    faces_flat = faces.reshape(3 * F)
+    face_g = jnp.asarray(rng.randn(F, 23).astype(np.float32))
+
+    def timed(tag, fn, iters=5):
+        f = jax.jit(fn)
+        float(jnp.sum(f(face_g)))
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = f(face_g)
+            float(jnp.sum(out))
+            ts.append(time.perf_counter() - t0)
+        print(f"{tag:>34}: {min(ts)*1000:8.2f} ms", flush=True)
+
+    def build_upd(fg):
+        gp = fg[:, 1:10].reshape(F, 3, 3)
+        gvc = (fg[:, 10:19] * 1.000001).reshape(F, 3, 3)
+        gvd = fg[:, 19:22].reshape(F, 1, 3).transpose(0, 2, 1)  # [F,3,1]
+        upd = jnp.concatenate([gp, gvc, gvd], axis=-1)  # [F, 3, 7]
+        return jnp.pad(upd, ((0, 0), (0, 0), (0, 10)))
+
+    timed("3D idx [F,3] pad17 (prod form)",
+          lambda fg: jnp.zeros((P, 17), jnp.float32)
+          .at[faces].add(build_upd(fg)))
+    timed("flat idx [3F] pad17",
+          lambda fg: jnp.zeros((P, 17), jnp.float32)
+          .at[faces_flat].add(build_upd(fg).reshape(3 * F, 17)))
+    timed("flat idx pad24",
+          lambda fg: jnp.zeros((P, 24), jnp.float32)
+          .at[faces_flat].add(
+              jnp.pad(build_upd(fg), ((0, 0), (0, 0), (0, 7)))
+              .reshape(3 * F, 24)))
+    timed("flat idx width7 (no pad)",
+          lambda fg: jnp.zeros((P, 7), jnp.float32)
+          .at[faces_flat].add(build_upd(fg)[..., :7].reshape(3 * F, 7)))
+    # no-build baseline: how much of prod form is the upd build chain
+    upd_pre = jnp.asarray(rng.randn(F, 3, 17).astype(np.float32))
+    timed("3D idx precomputed upd",
+          lambda fg: jnp.zeros((P, 17), jnp.float32)
+          .at[faces].add(upd_pre * fg[0, 0]))
+
+
+if __name__ == "__main__" and os.environ.get("DMRT_VARIANTS"):
+    variants()
