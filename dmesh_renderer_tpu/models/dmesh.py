@@ -219,25 +219,23 @@ def make_tet_se_fn(geom: TetGeometry, bg: Array, height: int, width: int,
     return se_fn
 
 
-def make_tet_train_step(optimizer: optax.GradientTransformation,
-                        geom: TetGeometry, bg: Array, height: int,
-                        width: int, mesh=None, seed: int = 0):
-    """Jitted tet-scene train step; with ``mesh``, views are sharded under
-    shard_map exactly like the tri path."""
-    se_fn = make_tet_se_fn(geom, bg, height, width, seed)
+def _tet_normalize(se, cnt, grads):
+    """Masked-mean normalization of the (sum, count) loss pieces."""
+    denom = jnp.maximum(cnt, 1.0)
+    return se / denom, jax.tree.map(lambda g: g / denom, grads)
 
-    def normalize(se, cnt, grads):
-        denom = jnp.maximum(cnt, 1.0)
-        return se / denom, jax.tree.map(lambda g: g / denom, grads)
 
+def _make_tet_vg(se_fn, mesh):
+    """(scene, batch) -> (loss, grads) for the tet renderer, unsharded or
+    shard_map'd over the views axis (shared by step and scan-loop builders
+    so the two cannot drift)."""
     if mesh is None:
-        def step(state: TrainState, batch: TetViewBatch):
+        def vg(scene: TetScene, batch: TetViewBatch):
             (se, cnt), grads = jax.value_and_grad(se_fn, has_aux=True)(
-                state.scene, batch)
-            loss, grads = normalize(se, cnt, grads)
-            return _apply_grads(optimizer, state, grads), loss
+                scene, batch)
+            return _tet_normalize(se, cnt, grads)
 
-        return jax.jit(step)
+        return vg
 
     from jax import lax
     from jax.sharding import PartitionSpec as P
@@ -254,23 +252,72 @@ def make_tet_train_step(optimizer: optax.GradientTransformation,
         grads = jax.tree.map(lambda g: lax.psum(g, VIEW_AXIS), grads)
         return se, cnt, grads
 
-    sharded_vg = jax.shard_map(
+    sharded = jax.shard_map(
         local_vg, mesh=mesh,
         in_specs=(P(), P(VIEW_AXIS)), out_specs=(P(), P(), P()),
         check_vma=False,
     )
 
-    def step(state: TrainState, batch: TetViewBatch):
-        se, cnt, grads = sharded_vg(state.scene, batch)
-        loss, grads = normalize(se, cnt, grads)
-        return _apply_grads(optimizer, state, grads), loss
+    def vg(scene: TetScene, batch: TetViewBatch):
+        return _tet_normalize(*sharded(scene, batch))
 
+    return vg
+
+
+def _tet_shardings(mesh):
     rep = replicated(mesh)
     vs = view_sharding(mesh)
     state_sh = TrainState(TetScene(rep, rep), vs, rep)
     batch_sh = TetViewBatch(*([vs] * 6))
+    return state_sh, batch_sh, rep
+
+
+def make_tet_train_step(optimizer: optax.GradientTransformation,
+                        geom: TetGeometry, bg: Array, height: int,
+                        width: int, mesh=None, seed: int = 0):
+    """Jitted tet-scene train step; with ``mesh``, views are sharded under
+    shard_map exactly like the tri path."""
+    se_fn = make_tet_se_fn(geom, bg, height, width, seed)
+    vg = _make_tet_vg(se_fn, mesh)
+
+    def step(state: TrainState, batch: TetViewBatch):
+        loss, grads = vg(state.scene, batch)
+        return _apply_grads(optimizer, state, grads), loss
+
+    if mesh is None:
+        return jax.jit(step)
+    state_sh, batch_sh, rep = _tet_shardings(mesh)
     return jax.jit(
         step,
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, rep),
+    )
+
+
+def make_tet_train_loop(optimizer: optax.GradientTransformation,
+                        geom: TetGeometry, bg: Array, height: int,
+                        width: int, n_steps: int, mesh=None, seed: int = 0):
+    """Jitted multi-step tet optimization: ``lax.scan`` over train steps,
+    mirroring :func:`make_train_loop` (the tri side). DMesh's phase-2
+    optimization drives the tet renderer in a tight loop; scanning keeps it
+    on device instead of paying the remote runtime's fixed per-dispatch
+    host round-trip (~28 ms) every step. Returns
+    ``loop(state, batch) -> (state, losses[n_steps])``."""
+    se_fn = make_tet_se_fn(geom, bg, height, width, seed)
+    vg = _make_tet_vg(se_fn, mesh)
+
+    def loop(state: TrainState, batch: TetViewBatch):
+        def step(state, _):
+            loss, grads = vg(state.scene, batch)
+            return _apply_grads(optimizer, state, grads), loss
+
+        return jax.lax.scan(step, state, None, length=n_steps)
+
+    if mesh is None:
+        return jax.jit(loop)
+    state_sh, batch_sh, rep = _tet_shardings(mesh)
+    return jax.jit(
+        loop,
         in_shardings=(state_sh, batch_sh),
         out_shardings=(state_sh, rep),
     )

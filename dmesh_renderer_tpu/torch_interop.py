@@ -12,8 +12,19 @@ Design: the forward runs ``jax.vjp`` over a ``jax.jit``-wrapped render
 closure (vjp-of-jit keeps both directions compiled and cached by shape) and
 stashes the vjp function on the autograd ctx -- the JAX residuals play the
 role of the reference's four opaque saved buffers (__init__.py:97-110).
-Tensors cross the boundary via NumPy (torch is CPU-side in this deployment;
-device round-trips honor the input tensor's device on the grad path).
+
+Boundary crossing: when torch (CPU in this deployment) and JAX's default
+backend share an address space (``jax.default_backend() == "cpu"``), tensors
+cross via **dlpack zero-copy** in both directions -- the reference's torch
+loop likewise never copies (everything stays on one CUDA device,
+/root/reference/dmesh_renderer/__init__.py:45-170). Otherwise (JAX on a
+remote/accelerator backend) the NumPy host round-trip is kept as the
+fallback; device round-trips honor the input tensor's device on the grad
+path. Zero-copy caveat (same contract in-place torch code always has):
+inputs share storage with the saved VJP residuals until ``backward`` runs,
+so mutating an input tensor in place between ``forward`` and a (retained)
+``backward`` reads the mutated values -- the standard torch training order
+(forward, backward, optimizer.step) is unaffected.
 
 Gradient surface parity:
 - tri: verts, verts_color, faces_opacity (summed over views) and
@@ -36,10 +47,25 @@ def is_torch_tensor(x) -> bool:
     return type(x).__module__.split(".")[0] == "torch"
 
 
+@functools.lru_cache(maxsize=1)
+def _zero_copy_ok() -> bool:
+    """dlpack zero-copy is valid only when torch (CPU) and JAX's default
+    backend share one address space."""
+    return jax.default_backend() == "cpu"
+
+
 def _to_jax(x, dtype=None):
     if is_torch_tensor(x):
-        x = x.detach().cpu().numpy()
-    arr = jnp.asarray(x)
+        x = x.detach()
+        if x.device.type == "cpu" and _zero_copy_ok():
+            try:
+                arr = jnp.from_dlpack(x.contiguous())
+            except Exception:  # exotic dtype/layout: host copy fallback
+                arr = jnp.asarray(x.numpy())
+        else:
+            arr = jnp.asarray(x.cpu().numpy())
+    else:
+        arr = jnp.asarray(x)
     if dtype is not None and arr.dtype != dtype:
         arr = arr.astype(dtype)
     return arr
@@ -48,9 +74,20 @@ def _to_jax(x, dtype=None):
 def _to_torch(a, like):
     import torch
 
-    # np.array copies: jax buffers surface as read-only numpy views, and
-    # torch.from_numpy on those is UB if the tensor is ever written.
-    t = torch.from_numpy(np.array(a))
+    if _zero_copy_ok() and isinstance(a, jax.Array):
+        # Zero-copy handoff: the capsule keeps the XLA buffer alive and we
+        # drop our reference, so torch owns it exclusively from here on
+        # (jit outputs are freshly allocated -- never aliased with inputs
+        # or cached constants).
+        try:
+            t = torch.utils.dlpack.from_dlpack(a)
+        except Exception:
+            t = torch.from_numpy(np.array(a))
+    else:
+        # np.array copies: jax buffers surface as read-only numpy views,
+        # and torch.from_numpy on those is UB if the tensor is ever
+        # written.
+        t = torch.from_numpy(np.array(a))
     if like is not None and like.device.type != "cpu":
         t = t.to(like.device)
     return t

