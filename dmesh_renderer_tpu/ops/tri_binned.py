@@ -152,6 +152,27 @@ def _bwd_nocond() -> bool:
     return os.environ.get("DMRT_BWD_NOCOND", "1") == "1"
 
 
+def _bwd_livebit() -> bool:
+    """Skip dead face-visits in the backward via a FORWARD-produced
+    per-visit liveness bit (DMRT_BWD_LIVEBIT, default ON since round 5).
+
+    The round-4 per-visit ``lax.cond(jnp.any(active), ...)`` lost because
+    it paid the full coverage pass BEFORE it could branch (plus the
+    cross-lane any-reduce). Here the forward kernel -- which computes the
+    exact per-pixel blend mask anyway -- records ``any pixel blended this
+    visit`` as one bit per slot (f32 in a [cap/SLAB, 128] row table, one
+    128-lane row per slab, written by the slab's one owning tile:
+    race-free like the gradient records). The backward reads the bit as
+    ONE SMEM scalar and branches before any vector work: a dead visit
+    costs the branch + the record zeroing instead of the ~490 ns full
+    visit. Forward blend-mask == backward active-mask exactly: for
+    pos < n_contrib_p a covered pixel was blended (done only flips at
+    nc_p), and pos >= nc_p pixels fail both masks.
+
+    A/B off: DMRT_BWD_LIVEBIT=0."""
+    return os.environ.get("DMRT_BWD_LIVEBIT", "1") == "1"
+
+
 # When True, the backward rebuilds the [cap, 128] slot attribute table from
 # the (F-scale) face table + saved keys instead of keeping it as a
 # custom_vjp residual: trades one slot-scale row gather (~9 ms at bench
@@ -547,13 +568,23 @@ def _interp_scalars(fs, i0, i1, i2):
 # Forward kernel
 # =============================================================================
 
-def _fwd_kernel(edge_i32, pxmax, pymax, starts_ref, ends_ref, *rest):
-    if edge_i32:
-        (attr_hbm, attr_i32_hbm, rayd_ref, pix_ref, out_ref,
-         fslab, islab, semf, semi) = rest
-    else:
-        attr_hbm, rayd_ref, pix_ref, out_ref, fslab, semf = rest
-        attr_i32_hbm = islab = semi = None
+def _fwd_kernel(edge_i32, livebit, pxmax, pymax, starts_ref, ends_ref,
+                *rest):
+    rest = list(rest)
+    attr_hbm = rest.pop(0)
+    attr_i32_hbm = rest.pop(0) if edge_i32 else None
+    rayd_ref = rest.pop(0)
+    pix_ref = rest.pop(0)
+    if livebit:
+        rest.pop(0)  # zero-init bits (donated to bits_hbm)
+    out_ref = rest.pop(0)
+    bits_hbm = rest.pop(0) if livebit else None
+    fslab = rest.pop(0)
+    islab = rest.pop(0) if edge_i32 else None
+    bslab = rest.pop(0) if livebit else None
+    semf = rest.pop(0)
+    semi = rest.pop(0) if edge_i32 else None
+    semb = rest.pop(0) if livebit else None
     t = pl.program_id(0)
     start = starts_ref[t]  # slab-aligned (binning.align_to_slabs)
     end = ends_ref[t]
@@ -613,6 +644,10 @@ def _fwd_kernel(edge_i32, pxmax, pymax, starts_ref, ends_ref, *rest):
             cr, cg, cb, dep = _interp_scalars(fs, i0, i1, i2)
             a = fs["alpha"]
             hit = hitg & (done == 0)
+            if livebit:
+                # any pixel blended this visit == the backward's
+                # any-active (see _bwd_livebit); one bit per slot
+                bslab[0, j] = jnp.max(hit.astype(jnp.float32))
             w = jnp.where(hit, a * T, 0.0)
             Cr = Cr + cr * w
             Cg = Cg + cg * w
@@ -627,6 +662,17 @@ def _fwd_kernel(edge_i32, pxmax, pymax, starts_ref, ends_ref, *rest):
         st = (done, T, pT, Cr, Cg, Cb, D, nc)
         st = _face_loop(rem, lambda j: _face_scalars(fslab, j, islab),
                         face_step, st)
+        if livebit:
+            # tail slots (alignment padding) stay dead
+            def bit_tail(j, carry):
+                bslab[0, j] = 0.0
+                return carry
+
+            lax.fori_loop(rem, SLAB, bit_tail, 0)
+            cb_dma = pltpu.make_async_copy(
+                bslab, bits_hbm.at[pl.ds(s0 // SLAB, 1), :], semb)
+            cb_dma.start()
+            cb_dma.wait()
         done, T, pT, Cr, Cg, Cb, D, nc = st
         return (s + 1, done, T, pT, Cr, Cg, Cb, D, nc)
 
@@ -642,15 +688,26 @@ def _fwd_kernel(edge_i32, pxmax, pymax, starts_ref, ends_ref, *rest):
 
 
 def _run_fwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, n_tiles,
-                    height, width):
+                    height, width, cap=None):
+    """Returns the per-tile output planes, plus the per-visit liveness bit
+    table [cap // SLAB, 128] when _bwd_livebit() (``cap`` required then)."""
     edge_i32 = _edge_i32()
+    livebit = _bwd_livebit() and cap is not None
     # largest in-image fixed-point pixel-center coords (16x + 8)
     kernel = functools.partial(
-        _fwd_kernel, edge_i32,
+        _fwd_kernel, edge_i32, livebit,
         int((width - 1) * 16 + 8), int((height - 1) * 16 + 8))
     i32_in = [pl.BlockSpec(memory_space=pl.ANY)] if edge_i32 else []
     i32_scratch = ([pltpu.SMEM((SLAB, NA), jnp.int32),
                     pltpu.SemaphoreType.DMA] if edge_i32 else [])
+    bit_in = [pl.BlockSpec(memory_space=pl.ANY)] if livebit else []
+    out_specs = pl.BlockSpec((1, 7, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_tiles, 7, PSUB, PLANE), jnp.float32)
+    if livebit:
+        out_specs = (out_specs, pl.BlockSpec(memory_space=pl.ANY))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((cap // SLAB, PLANE), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -661,39 +718,67 @@ def _run_fwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, n_tiles,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            *bit_in,
         ],
-        out_specs=pl.BlockSpec((1, 7, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.SMEM((SLAB, NA), jnp.float32),
             *i32_scratch[:1],
+            *([pltpu.SMEM((1, PLANE), jnp.float32)] if livebit else []),
             pltpu.SemaphoreType.DMA,
             *i32_scratch[1:],
+            *([pltpu.SemaphoreType.DMA] if livebit else []),
         ],
     )
     extra = ((lax.bitcast_convert_type(attr_tab, jnp.int32),)
              if edge_i32 else ())
-    return pl.pallas_call(
+    if livebit:
+        # zero-init bit rows donated to the bit output: slabs the forward
+        # never reaches (all-done early exit) stay dead
+        bits_init = (jnp.zeros((cap // SLAB, PLANE), jnp.float32),)
+        n_in = 5 + (1 if edge_i32 else 0)  # incl. 2 scalar-prefetch args
+        alias = {n_in: 1}
+        kw = dict(input_output_aliases=alias,
+                  compiler_params=pltpu.CompilerParams(
+                      has_side_effects=True))
+    else:
+        bits_init = ()
+        kw = {}
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 7, PSUB, PLANE), jnp.float32),
+        out_shape=out_shape,
         interpret=_interpret(),
-    )(starts, ends, attr_tab, *extra, rayd_t, pix_t)
+        **kw,
+    )(starts, ends, attr_tab, *extra, rayd_t, pix_t, *bits_init)
+    if livebit:
+        return out
+    return out, None
 
 
 # =============================================================================
 # Backward kernel
 # =============================================================================
 
-def _bwd_kernel(edge_i32, starts_ref, ends_ref, *rest):
-    if edge_i32:
-        (attr_hbm, attr_i32_hbm, rayd_ref, pix_ref, fwd_ref, gin_ref,
-         grec_in_hbm, grec_hbm, fslab, islab, grec, semf, semi,
-         semg) = rest
-    else:
-        (attr_hbm, rayd_ref, pix_ref, fwd_ref, gin_ref, grec_in_hbm,
-         grec_hbm, fslab, grec, semf, semg) = rest
-        attr_i32_hbm = islab = semi = None
+def _bwd_kernel(edge_i32, livebit, starts_ref, ends_ref, *rest):
+    rest = list(rest)
+    attr_hbm = rest.pop(0)
+    attr_i32_hbm = rest.pop(0) if edge_i32 else None
+    rayd_ref = rest.pop(0)
+    pix_ref = rest.pop(0)
+    fwd_ref = rest.pop(0)
+    gin_ref = rest.pop(0)
+    bits_hbm = rest.pop(0) if livebit else None
+    grec_in_hbm = rest.pop(0)
+    grec_hbm = rest.pop(0)
+    fslab = rest.pop(0)
+    islab = rest.pop(0) if edge_i32 else None
+    bslab = rest.pop(0) if livebit else None
+    grec = rest.pop(0)
+    semf = rest.pop(0)
+    semi = rest.pop(0) if edge_i32 else None
+    semb = rest.pop(0) if livebit else None
+    semg = rest.pop(0)
     # grec_in_hbm is the zero-initialized record buffer, donated to
     # grec_hbm (input_output_aliases): slabs this kernel never visits stay
     # exactly zero, so the XLA-side reduction needs no validity masking.
@@ -756,9 +841,15 @@ def _bwd_kernel(edge_i32, starts_ref, ends_ref, *rest):
             ci = pltpu.make_async_copy(
                 attr_i32_hbm.at[pl.ds(s0, SLAB), :], islab, semi)
             ci.start()
+        if livebit:
+            cb = pltpu.make_async_copy(
+                bits_hbm.at[pl.ds(s0 // SLAB, 1), :], bslab, semb)
+            cb.start()
         cf.wait()
         if edge_i32:
             ci.wait()
+        if livebit:
+            cb.wait()
 
         rem = jnp.minimum(n_eff - s * SLAB, SLAB)
         base = s * SLAB
@@ -777,22 +868,36 @@ def _bwd_kernel(edge_i32, starts_ref, ends_ref, *rest):
 
         def face_step(jj, fs, st):
             j = rem - 1 - jj  # reverse within slab
+
+            def skip(op):
+                # Faces nobody blended: state unchanged, zero record.
+                zero_row(j)
+                return op
+
+            if livebit:
+                # branch on the forward's per-visit liveness bit (ONE
+                # SMEM scalar) BEFORE any vector work -- see _bwd_livebit
+                def cov_and_heavy(op):
+                    hitg, u, code, i0, i1, i2, mt = _coverage_and_uv(
+                        fs, px, py, dx, dy, dz)
+                    active = hitg & (base + j < nc)
+                    return _bwd_face_heavy(
+                        op, fs, active, fs["alpha"], u, i0, i1, i2, code,
+                        mt, grec, j, dx, dy, dz, g_r, g_g, g_b, g_d,
+                        bg_dot, final_T, final_pT)
+
+                return lax.cond(bslab[0, j] > 0.0, cov_and_heavy, skip, st)
+
             hitg, u, code, i0, i1, i2, mt = _coverage_and_uv(
                 fs, px, py, dx, dy, dz)
             a = fs["alpha"]
-            pos = base + j
-            active = hitg & (pos < nc)
+            active = hitg & (base + j < nc)
 
             def heavy(op):
                 return _bwd_face_heavy(
                     op, fs, active, a, u, i0, i1, i2, code, mt, grec, j,
                     dx, dy, dz, g_r, g_g, g_b, g_d, bg_dot,
                     final_T, final_pT)
-
-            def skip(op):
-                # Faces nobody blended: state unchanged, zero record.
-                zero_row(j)
-                return op
 
             if _bwd_nocond():
                 # heavy is fully masked: dead visits compute the skip
@@ -969,9 +1074,11 @@ def _bwd_face_heavy(st, fs, active, a, u, i0, i1, i2, code, mt, grec, j,
 
 
 def _run_bwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, fwd_t,
-                    gin_t, n_tiles, cap):
+                    gin_t, n_tiles, cap, bits=None):
     edge_i32 = _edge_i32()
+    livebit = _bwd_livebit() and bits is not None
     i32_in = [pl.BlockSpec(memory_space=pl.ANY)] if edge_i32 else []
+    bit_in = [pl.BlockSpec(memory_space=pl.ANY)] if livebit else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -986,31 +1093,37 @@ def _run_bwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, fwd_t,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 5, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            *bit_in,
             pl.BlockSpec(memory_space=pl.ANY),  # zero-init records (donated)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=(
             [pltpu.SMEM((SLAB, NA), jnp.float32)]
             + ([pltpu.SMEM((SLAB, NA), jnp.int32)] if edge_i32 else [])
+            + ([pltpu.SMEM((1, PLANE), jnp.float32)] if livebit else [])
             + [pltpu.SMEM((SLAB // REC_PER_ROW, NG), jnp.float32),
                pltpu.SemaphoreType.DMA]
             + ([pltpu.SemaphoreType.DMA] if edge_i32 else [])
+            + ([pltpu.SemaphoreType.DMA] if livebit else [])
             + [pltpu.SemaphoreType.DMA]
         ),
     )
     grec_init = jnp.zeros((cap // REC_PER_ROW, NG), jnp.float32)
     extra = ((lax.bitcast_convert_type(attr_tab, jnp.int32),)
              if edge_i32 else ())
+    bits_in = (bits,) if livebit else ()
+    # grec_init is donated to the output (indices count the
+    # scalar-prefetch args too; the i32 view / bit table shift it)
+    grec_idx = 7 + (1 if edge_i32 else 0) + (1 if livebit else 0)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, edge_i32),
+        functools.partial(_bwd_kernel, edge_i32, livebit),
         grid_spec=grid_spec,
-        # grec_init is donated to the output (indices count the
-        # scalar-prefetch args too; the i32 table view shifts it by one)
-        input_output_aliases={(8 if edge_i32 else 7): 0},
+        input_output_aliases={grec_idx: 0},
         out_shape=jax.ShapeDtypeStruct((cap // REC_PER_ROW, NG), jnp.float32),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, ends, attr_tab, *extra, rayd_t, pix_t, fwd_t, gin_t, grec_init)
+    )(starts, ends, attr_tab, *extra, rayd_t, pix_t, fwd_t, gin_t,
+      *bits_in, grec_init)
 
 
 # =============================================================================
@@ -1049,15 +1162,16 @@ def _binned_prepare(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
 def _render_binned_impl(verts, faces, verts_color, faces_opacity, mv_t,
                         proj_t, inv_mv_t, inv_proj_t, verts_depth,
                         faces_intense, bg, height, width, kcap,
-                        run_cap=None):
+                        run_cap=None, need_bits=False):
     keys, attr_tab, rayd_t, pix_t, (B, gx, gy, cap) = _binned_prepare(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
         inv_proj_t, verts_depth, faces_intense, height, width, kcap,
         run_cap,
     )
     n_tiles = B * gx * gy
-    out = _run_fwd_kernel(keys.starts, keys.ends, attr_tab, rayd_t,
-                          pix_t, n_tiles, height, width)
+    out, bits = _run_fwd_kernel(keys.starts, keys.ends, attr_tab, rayd_t,
+                                pix_t, n_tiles, height, width,
+                                cap=cap if need_bits else None)
     img = _untile(out[:, 0:4], B, height, width, gx, gy)  # [B,H,W,4]
     state = _untile(out[:, 4:7], B, height, width, gx, gy)  # T, pT, nc
 
@@ -1066,7 +1180,7 @@ def _render_binned_impl(verts, faces, verts_color, faces_opacity, mv_t,
     depth = img[..., 3] + T * 1.0
     color = color.transpose(0, 3, 1, 2)
     depth = depth[:, None, :, :]
-    return color, depth, out[:, 4:7], keys, (attr_tab, rayd_t, pix_t)
+    return color, depth, out[:, 4:7], keys, (attr_tab, rayd_t, pix_t, bits)
 
 
 # =============================================================================
@@ -1141,7 +1255,7 @@ def _b_fwd(verts, faces, verts_color, faces_opacity, mv_t, proj_t,
     color, depth, fwd_state_t, keys, saved = _render_binned_impl(
         verts, faces, verts_color, faces_opacity, mv_t, proj_t, inv_mv_t,
         inv_proj_t, verts_depth, faces_intense, bg, height, width, kcap,
-        run_cap,
+        run_cap, need_bits=True,
     )
     _overflow_warning(keys, kcap)
     # Residuals keep the slot attr tables and tiled ray/pixel data -- the
@@ -1177,7 +1291,7 @@ def _b_bwd(height, width, kcap, with_aux, run_cap, res, cots):
     n_tiles = B * gx * gy
     cap = aligned_capacity(kcap, n_tiles, SLAB)
 
-    attr_tab, rayd_t, pix_t = saved
+    attr_tab, rayd_t, pix_t, bits = saved
     if attr_tab is None:  # RECOMPUTE_BWD_ATTRS at fwd time
         ndc, img = project_verts(verts, mv_t, proj_t, width, height)
         face_tab = _build_face_table(
@@ -1195,7 +1309,8 @@ def _b_bwd(height, width, kcap, with_aux, run_cap, res, cots):
     gin_t = _tileify(gin, B, height, width, gx, gy)
 
     rec4 = _run_bwd_kernel(keys.starts, keys.ends, attr_tab, rayd_t,
-                           pix_t, fwd_state_t, gin_t, n_tiles, cap)
+                           pix_t, fwd_state_t, gin_t, n_tiles, cap,
+                           bits=bits)
 
     # Reduce per-slot records to per-(view, face) gradients with ONE
     # deterministic segment scatter-add -- the structural analog of the

@@ -76,21 +76,29 @@ def _scene_args():
 
 
 def _fwd_and_grads(render, args):
-    color, depth = render(*args, H, W)
+    # One jit over forward + grads: the remote-TPU bench gate reuses this
+    # helper, where unjitted op-by-op dispatch would take minutes.
+    @jax.jit
+    def run():
+        color, depth = render(*args, H, W)
 
-    def loss(verts, vcolor, fop, vdepth, fint):
-        c, d = render(verts, args[1], vcolor, fop, *args[4:8],
-                      vdepth, fint, args[10], H, W)
-        t = jnp.cos(jnp.arange(c.size, dtype=jnp.float32)).reshape(c.shape)
-        td = jnp.sin(jnp.arange(d.size, dtype=jnp.float32)).reshape(d.shape)
-        return jnp.sum(c * t) + jnp.sum(d * td)
+        def loss(verts, vcolor, fop, vdepth, fint):
+            c, d = render(verts, args[1], vcolor, fop, *args[4:8],
+                          vdepth, fint, args[10], H, W)
+            t = jnp.cos(jnp.arange(c.size,
+                                   dtype=jnp.float32)).reshape(c.shape)
+            td = jnp.sin(jnp.arange(d.size,
+                                    dtype=jnp.float32)).reshape(d.shape)
+            return jnp.sum(c * t) + jnp.sum(d * td)
 
-    grads = jax.grad(loss, argnums=tuple(range(5)))(
-        args[0], args[2], args[3], args[8], args[9])
-    names = ("g_verts", "g_vcolor", "g_fopacity", "g_vdepth", "g_fintense")
-    out = {"color": np.array(color), "depth": np.array(depth)}
-    out.update({n: np.array(g) for n, g in zip(names, grads)})
-    return out
+        grads = jax.grad(loss, argnums=tuple(range(5)))(
+            args[0], args[2], args[3], args[8], args[9])
+        return (color, depth) + grads
+
+    out_arrs = run()
+    names = ("color", "depth", "g_verts", "g_vcolor", "g_fopacity",
+             "g_vdepth", "g_fintense")
+    return {n: np.array(a) for n, a in zip(names, out_arrs)}
 
 
 def test_adversarial_golden():

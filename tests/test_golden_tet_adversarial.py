@@ -68,8 +68,15 @@ def _render_and_grads():
         )
         return jnp.sum(c * wc) + jnp.sum(d * wd), (c, d, act)
 
-    (_, (c, d, act)), (g_vc, g_fo) = jax.value_and_grad(
-        loss, argnums=(0, 1), has_aux=True)(vcolor, fopacity)
+    # One jit over forward + grads (the remote-TPU bench gate reuses this
+    # helper, where unjitted op-by-op dispatch would take minutes).
+    @jax.jit
+    def run():
+        (_, cda), grads = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(vcolor, fopacity)
+        return cda, grads
+
+    (c, d, act), (g_vc, g_fo) = run()
     return {
         "color": np.array(c), "depth": np.array(d),
         "active": np.array(act),

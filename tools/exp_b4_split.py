@@ -51,7 +51,7 @@ def main():
             keys, attr_tab, rayd_t, pix_t, _meta = tb._binned_prepare(
                 verts, faces, vc, fo, mv_t, proj_t, inv_mv_t,
                 inv_proj_t, vdepth, fintense, H, W, kcap)
-            out = tb._run_fwd_kernel(keys.starts, keys.ends, attr_tab,
+            out, _bits = tb._run_fwd_kernel(keys.starts, keys.ends, attr_tab,
                                      rayd_t, pix_t, n_tiles, H, W)
             return keys, attr_tab, rayd_t, pix_t, out
 

@@ -104,7 +104,7 @@ def main():
         color, depth, fwd_state_t, keys, saved = tb._render_binned_impl(
             a[0], a[1], a[2], a[3], a[4], a[5], a[6], a[7], a[8], a[9],
             bg, H, W, kcap)
-        attr_tab, rayd_t, pix_t = saved
+        attr_tab, rayd_t, pix_t, _bits = saved
         cap = fwd_state_t.shape[0] * 0 + tb.aligned_capacity(
             kcap, n_tiles, tb.SLAB) if False else None
         from dmesh_renderer_tpu.ops.binning import aligned_capacity

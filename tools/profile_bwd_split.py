@@ -67,7 +67,7 @@ def main():
     def bwd_kernel_only(fo):
         color, depth, fwd_state_t, keys, saved = fwd_all(fo)
         del depth
-        attr_tab, rayd_t, pix_t = saved
+        attr_tab, rayd_t, pix_t, _bits = saved
         gc = gcol.transpose(0, 2, 3, 1)
         gd = gdep[:, 0]
         bg_dot = jnp.einsum("c,bhwc->bhw", bg, gc) + gd
@@ -79,7 +79,7 @@ def main():
 
     def reduce_too(fo):
         color, depth, fwd_state_t, keys, saved = fwd_all(fo)
-        attr_tab, rayd_t, pix_t = saved
+        attr_tab, rayd_t, pix_t, _bits = saved
         gc = gcol.transpose(0, 2, 3, 1)
         gd = gdep[:, 0]
         bg_dot = jnp.einsum("c,bhwc->bhw", bg, gc) + gd

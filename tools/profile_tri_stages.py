@@ -89,7 +89,7 @@ def main():
         ray_o, ray_d = generate_rays(a[6], a[7], W, H, norm_eps_mode="tri")
         rayd_t = tb._tileify(ray_d, B, H, W, gx, gy)
         pix_t = tb._pixel_coords(B, gx, gy)
-        out = tb._run_fwd_kernel(keys.starts, keys.ends, attr_tab,
+        out, _bits = tb._run_fwd_kernel(keys.starts, keys.ends, attr_tab,
                                  rayd_t, pix_t, n_tiles, H, W)
         return out
 
