@@ -24,7 +24,11 @@ import numpy as np
 
 # ms/frame fwd+bwd recorded at the end of round 1 (for vs_baseline tracking)
 # Metric definition: full backward (all 5 gradients, as the reference
-# always computes). Round-1 record below; round-2 value for reference: 98.7.
+# always computes). NOTE (ADVICE r4): the driver artifacts differ slightly
+# from the in-session numbers because artifact runs share the chip --
+# BENCH_r01 parsed 399.0 / r02 99.5 / r03 62.0 vs in-session 402.6 / 98.7 /
+# 61.0. vs_baseline uses the round-1 in-session record; cross-round ratios
+# should quote the BENCH_r0N artifacts.
 BENCH_HISTORY_MS = 402.6  # round 1, TPU v5e single chip
 
 
@@ -802,6 +806,12 @@ def main():
     file, which the driver's end-of-round commit picks up.
     """
     _backend_watchdog()
+    t_start = time.time()
+    # optional stages are skipped past this point so the driver ALWAYS
+    # gets its one JSON line (compiles on the remote backend are minutes
+    # each; an external kill mid-bench would lose the whole round's
+    # artifact)
+    budget_s = float(os.environ.get("DMRT_BENCH_BUDGET_S", "3300"))
     ms = bench_tri_scaled()
     vs = 1.0 if BENCH_HISTORY_MS is None else BENCH_HISTORY_MS / ms
     result = {
@@ -830,7 +840,10 @@ def main():
     }
     extra = {}
 
-    def stage(key, fn):
+    def stage(key, fn, cost_s=300.0):
+        if time.time() - t_start + cost_s > budget_s:
+            extra[f"{key}_skipped_for_time"] = True
+            return
         try:
             extra.update(fn())
         except Exception as e:
@@ -841,35 +854,45 @@ def main():
         return {"tet_ms_per_frame": round(tet_ms, 3),
                 "tet_faces": int(tet_faces_n)}
 
-    def _views_scaling():
-        # multi-view scaling points (BASELINE.md config 5; VERDICT r4
-        # #1/#10): B=2 at the SAME protocol as the headline-adjacent
-        # measurement, B=4 confirming both renderers stay linear past
-        # the historical cliff points
-        o = {}
-        o["tri_ms_per_view_B2"] = round(
-            bench_tri_scaled(n_views=2, chain=8, iters=3), 3)
-        o["tet_ms_per_view_B2"] = round(
-            bench_tet_scaled(n_views=2, chain=8, iters=3)[0], 3)
-        o["tri_ms_per_view_B4"] = round(
-            bench_tri_scaled(n_views=4, chain=4, iters=2), 3)
-        o["tet_ms_per_view_B4"] = round(
-            bench_tet_scaled(n_views=4, chain=4, iters=2)[0], 3)
-        return o
+    # multi-view scaling points (BASELINE.md config 5; VERDICT r4 #1/#10):
+    # B=2 at the SAME protocol as the single-view measurements, B=4
+    # confirming both renderers stay linear past the historical cliff
+    # points. One stage each so a failure/timeout keeps the others.
+    def _tri_b2():
+        return {"tri_ms_per_view_B2": round(
+            bench_tri_scaled(n_views=2, chain=8, iters=3), 3)}
+
+    def _tet_b2():
+        return {"tet_ms_per_view_B2": round(
+            bench_tet_scaled(n_views=2, chain=8, iters=3)[0], 3)}
+
+    def _tri_b4():
+        return {"tri_ms_per_view_B4": round(
+            bench_tri_scaled(n_views=4, chain=4, iters=2), 3)}
+
+    def _tet_b4():
+        return {"tet_ms_per_view_B4": round(
+            bench_tet_scaled(n_views=4, chain=4, iters=2)[0], 3)}
 
     def _smoke():
         err = bench_sharded_smoke()
         return {"sharded_smoke_max_abs_err": float(f"{err:.3g}"),
                 "sharded_smoke_ok": bool(err < 1e-4)}
 
-    stage("tet", _tet_headline)
-    stage("views", _views_scaling)
-    stage("sharded_smoke", _smoke)
-    stage("parity_gate", bench_parity_gate)
-    stage("adv_gate", bench_adversarial_gate)
-    stage("fallback_gate", bench_fallback_gate)
+    stage("tet", _tet_headline, cost_s=500)
+    # gates first: correctness evidence outranks extra scaling points if
+    # the time budget runs short
+    stage("sharded_smoke", _smoke, cost_s=200)
+    stage("parity_gate", bench_parity_gate, cost_s=250)
+    stage("adv_gate", bench_adversarial_gate, cost_s=400)
+    stage("fallback_gate", bench_fallback_gate, cost_s=500)
+    stage("tri_b2", _tri_b2, cost_s=300)
+    stage("tet_b2", _tet_b2, cost_s=450)
+    stage("tri_b4", _tri_b4, cost_s=300)
+    stage("tet_b4", _tet_b4, cost_s=450)
     try:
-        if "tet_ms_per_frame" in extra:
+        if ("tet_ms_per_frame" in extra
+                and time.time() - t_start + 600 <= budget_s):
             roof = bench_roofline(ms, extra["tet_ms_per_frame"])
             detail["roofline"] = roof
             extra["roofline_tri_pct"] = roof["tri_summary"][

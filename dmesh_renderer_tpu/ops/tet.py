@@ -732,7 +732,37 @@ def _to_rows(t):
     return t.swapaxes(1, 2).reshape(g * 128, k)
 
 
-def _phased_fwd_march(state_t, consts_t, tbase, mega, log_depth, max_steps):
+def _mega_gather(mega, tb, gt, view_blocks):
+    """The march's per-step mega-table row gather.
+
+    ``view_blocks = (B, N)`` when the ray buffer is still view-contiguous
+    (the full-width phase; view b owns rays [b*N, (b+1)*N), padding rides
+    view B-1): gather each view's rays from ITS [T*4, 64] slice of the
+    mega table instead of one flat gather from the [B*T*4, 64] table.
+    XLA:TPU gathers fall off a source-SIZE cliff around 64-128 MB (the
+    gather analog of the scatter target-size cliff;
+    tools/exp_gather_srcsize.py) -- at B=1 the 49 MB mega rides the fast
+    path but the flat B=2 table (98 MB) pays ~2x per row, which was the
+    whole tet B=2 super-linearity (tools/exp_b2_stages.py: march 1.86x
+    per view, first-hit/replay linear). Per-view slices keep the source
+    size constant in B. ``view_blocks=None`` (compacted tail phases mix
+    views) falls back to the flat gather -- few rows there, cliff cost
+    negligible."""
+    if view_blocks is None or view_blocks[0] == 1:
+        return mega[tb + gt]
+    B, N = view_blocks
+    t4 = mega.shape[0] // B
+    m = gt.shape[0]
+    chunks = []
+    for b in range(B):
+        lo = b * N
+        hi = (b + 1) * N if b < B - 1 else m  # padding rides view B-1
+        chunks.append(mega[b * t4:(b + 1) * t4][gt[lo:hi]])
+    return jnp.concatenate(chunks, axis=0)
+
+
+def _phased_fwd_march(state_t, consts_t, tbase, mega, log_depth, max_steps,
+                      view_blocks=None):
     """Lockstep forward march with compacted tail phases.
 
     The full-width phase pays every step over all rays, but transmittance
@@ -763,6 +793,7 @@ def _phased_fwd_march(state_t, consts_t, tbase, mega, log_depth, max_steps):
         log0 = jnp.zeros((log_depth, g, _NLOG, 128), jnp.float32).at[
             :, :, _L_CF, :].set(-1.0)
         is_last = level == len(sizes) - 1
+        vb = view_blocks if level == 0 else None  # tail phases mix views
 
         def cond(c):
             s, _log, step = c
@@ -776,7 +807,7 @@ def _phased_fwd_march(state_t, consts_t, tbase, mega, log_depth, max_steps):
         def body(c):
             s, log, step = c
             gt = s[:, _K_GT, :].reshape(-1).astype(jnp.int32)
-            mega_t = _relayout(mega[tb + gt], 64)
+            mega_t = _relayout(_mega_gather(mega, tb, gt, vb), 64)
             out = _run_fwd_march(mega_t, cst, s)
             log = lax.dynamic_update_slice(
                 log, out[None, :, _NSF2:, :],
@@ -1093,7 +1124,8 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
     # _phased_fwd_march). Each phase appends its own march-log segment.
     log_depth = max(1, min(LOG_CAP, int(max_steps)))
     st, march_segs = _phased_fwd_march(state_t, consts_t, tbase,
-                                       march["mega"], log_depth, max_steps)
+                                       march["mega"], log_depth, max_steps,
+                                       view_blocks=(B, N))
     rows = _unpack_rows(st, _NSF2)
     i32 = lambda x: x.astype(jnp.int32)
     shape2 = lambda x: x[:M0].reshape(B, N)
