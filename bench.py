@@ -260,12 +260,18 @@ def bench_roofline(tri_total_ms, tet_total_ms):
     runtime's fixed ~26 ms dispatch, which is measured by a no-op jit and
     subtracted from the first stage). Model floors per stage:
 
-    - row-granular ops (gather / scatter / sort-payload): 12.5 ns/row
+    - row-granular ops (gather / scatter / sort-payload), RANDOM index
+      order: 12.5 ns/row
+    - row gathers with COHERENT (sorted / piecewise-ascending) indices:
+      3.6 ns/row -- measured on the slot-attr gather itself and matching
+      the tet march's in-context ~3 ns/row (docs/ARCHITECTURE.md
+      "INDEX COHERENCE is the discount"; VERDICT r4 #4 calibration)
     - width-1 scatter-add (special-cased fast path): 7 ns/row
     - lax.sort: 1.5 ns/element/operand
     - VPU vector op on an (8,128) f32 block: ~1.06 ns (one issue/cycle at
       940 MHz); kernel op counts from the kernel source (fwd ~60 vector
-      ops/visit; bwd ~55 coverage + ~220 heavy on the ~61% live visits)
+      ops/visit; bwd ~55 coverage + ~220 heavy, paid only on the ~61%
+      live visits since the r5 liveness-bit skip)
     - HBM peak 819 GB/s (v5e)
 
     pct_of_roofline = model floor / measured -- 100% means the stage runs
@@ -286,6 +292,7 @@ def bench_roofline(tri_total_ms, tet_total_ms):
     )
 
     ROW_NS, W1_NS, SORT_NS, VEC_NS = 12.5, 7.0, 1.5, 1.06
+    COH_NS = 3.6  # coherent-index row gather (see docstring)
     HBM_GBS = 819.0
 
     def timed(f, iters=3):
@@ -385,8 +392,12 @@ def bench_roofline(tri_total_ms, tet_total_ms):
     stage("tri_emit_sort", t_emit,
           rcap * ROW_NS + 2 * rcap * W1_NS + cap * 2 * SORT_NS + cap * 2.0,
           emitted)
+    # the slot-attr gather's indices are piecewise-ascending after the tile
+    # sort -> the coherent rate applies (the r4 floor priced it at the
+    # random-index 12.5 and reported 212% "of floor"); the two F-scale
+    # vertex gathers in the face-table build stay random-index
     stage("tri_attr_gather", max(t_attr - t_emit, 0.0),
-          cap * ROW_NS + 2 * n_tris * ROW_NS, cap,
+          cap * COH_NS + 2 * n_tris * ROW_NS, cap,
           hbm_bytes=cap * tb.NA * 4 * 2)
     # fwd kernel visits are bounded by the per-tile early exit, not the
     # emitted count -- the walked prefix is the honest lower-bound event
@@ -395,10 +406,11 @@ def bench_roofline(tri_total_ms, tet_total_ms):
           walked * 60 * VEC_NS, walked)
     t_bwd = max(tri_total_ms - t_fwdk, 0.0)
     # bwd kernel + record reduce together (kernel/reduce split lives in
-    # tools/profile_bwd_split.py); floor: coverage on all walked visits,
-    # heavy math on the ~61% live ones, plus the walked-scale reduce rows
+    # tools/profile_bwd_split.py); floor: coverage AND heavy math on the
+    # ~61% live visits only (the liveness-bit skip branches dead visits
+    # away before any vector work), plus the walked-scale reduce rows
     stage("tri_bwd_total", t_bwd,
-          walked * (55 + 0.61 * 220) * VEC_NS + 2 * walked * ROW_NS,
+          walked * 0.61 * (55 + 220) * VEC_NS + 2 * walked * ROW_NS,
           walked)
     # summary floor clamps each stage's model floor to its measurement:
     # a stage where the model exceeds the measurement means the model
@@ -442,7 +454,7 @@ def bench_roofline(tri_total_ms, tet_total_ms):
         ttets, tface_tets, ttet_faces)))
     bg = jnp.asarray(np.array([0.1, 0.1, 0.1], np.float32))
 
-    def t_fh():
+    def _fh_run():
         from dmesh_renderer_tpu.ops.rays import generate_rays
         from dmesh_renderer_tpu.ops.tri_binned import TILE as KTILE
 
@@ -450,9 +462,17 @@ def bench_roofline(tri_total_ms, tet_total_ms):
         pre = preprocess_faces(ndc, img, ta[1], W, H, KTILE, KTILE)
         ray_o, ray_d = generate_rays(ta[6], ta[7], W, H,
                                      norm_eps_mode="tet")
-        ff, rt, iu, iv, _aux = first_intersection_binned(
+        return first_intersection_binned(
             ta[0], ta[1], pre, img, ta[6][:, 3, :3], ray_d, H, W, 1, tkcap)
+
+    def t_fh():
+        ff, rt, iu, iv, _aux = _fh_run()
         return csum((ff.astype(jnp.float32), rt, iu, iv))
+
+    # slots the kernel actually scanned (depth-window early-outs): the
+    # honest visit count for the first-hit floor (r4 priced every
+    # capacity slot and reported 134% "of floor")
+    fh_walked = float(jax.jit(lambda: _fh_run()[4][2])())
 
     def t_fwd():
         c, d, act, saved = _render_tet_forward(
@@ -474,11 +494,13 @@ def bench_roofline(tri_total_ms, tet_total_ms):
     tet_events, tet_steps = (float(x) for x in tet_counts())
     M = 800 * 800
 
-    # first-hit floor: attr gather rows + the slot sort + the kernel's
-    # per-slot-visit vector work ((8,128)-block ops, ~40/visit)
+    # first-hit floor: attr gather rows (coherent: tile-sorted indices) +
+    # the slot sort, both at capacity scale; the kernel's per-slot-visit
+    # vector work ((8,128)-block ops, ~40/visit) only on the slots the
+    # depth-window scan actually walked
     stage("tet_first_hit", ms_fh,
-          tkcap * ROW_NS + tkcap * 2 * SORT_NS + tkcap * 40 * VEC_NS,
-          tkcap)
+          tkcap * (COH_NS + 2 * SORT_NS) + fh_walked * 40 * VEC_NS,
+          fh_walked)
     # march floor: per full-width step one M-row mega gather (measured
     # spatially-coherent ~3 ns/row here, credited at that rate) + the
     # relayout+log HBM traffic + ~120 kernel vector ops per ray-step

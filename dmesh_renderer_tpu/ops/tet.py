@@ -1036,7 +1036,8 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
             verts, faces, pre["valid"], order, ray_o, ray_d
         )
         # dense path scans every (valid) face: no capacity, cannot drop
-        fh_aux = (jnp.asarray(False), jnp.asarray(-1, jnp.int32))
+        fh_aux = (jnp.asarray(False), jnp.asarray(-1, jnp.int32),
+                  jnp.asarray(-1, jnp.int32))
 
     march = _march_tables(verts, faces, tets, tet_faces, face_tets,
                           verts_color, faces_opacity, faces_intense)
@@ -1153,6 +1154,7 @@ def _render_tet_forward(verts, faces, verts_color, faces_opacity, mv_t,
         is_active=shape2(rows[_K_ACT]) != 0.0,
         fh_overflow=fh_aux[0],
         fh_num_rendered=fh_aux[1],
+        fh_walked=fh_aux[2],
         march_segs=march_segs,
     )
     return color, depth, active_img, saved

@@ -132,11 +132,16 @@ def _fh_kernel(starts_ref, ends_ref, attr_hbm, rayd_ref,
         return (s + 1, done, bt, bmax, bface, bu, bv)
 
     c = lax.while_loop(cond, body, init)
-    _s, _done, bt, _bmax, bface, bu, bv = c
+    s_f, _done, bt, _bmax, bface, bu, bv = c
     out_ref[0, 0] = bface
     out_ref[0, 1] = jnp.where(bt < _BIG, bt, 0.0)
     out_ref[0, 2] = bu
     out_ref[0, 3] = bv
+    # slots actually walked by this tile (slab-granular): the depth-window
+    # early-out typically stops the scan well short of the tile's list, so
+    # capacity-scale counts overstate the kernel's work -- this plane feeds
+    # per-tile diagnostics and the bench roofline's visit count
+    out_ref[0, 4] = zero + (s_f * SLAB).astype(jnp.float32)
 
 
 def _run_fh_kernel(starts, ends, attr_tab, rayd_t, n_tiles):
@@ -148,7 +153,7 @@ def _run_fh_kernel(starts, ends, attr_tab, rayd_t, n_tiles):
             pl.BlockSpec((1, 3, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 4, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 5, PSUB, PLANE), lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((SLAB, NA), jnp.float32),
@@ -158,7 +163,7 @@ def _run_fh_kernel(starts, ends, attr_tab, rayd_t, n_tiles):
     return pl.pallas_call(
         _fh_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 4, PSUB, PLANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 5, PSUB, PLANE), jnp.float32),
         interpret=_interpret(),
     )(starts, ends, attr_tab, rayd_t)
 
@@ -168,11 +173,15 @@ def first_intersection_binned(verts, faces, pre, img, cam_o, ray_d,
     """Tile-binned first hit. ray_d: [B, H, W, 3] (jitter included).
 
     Returns (first_face [B, N] int32 (-1 miss), t, u, v [B, N],
-    (overflow bool[], num_rendered int32[])). The aux pair surfaces the
-    static key-capacity overflow AS DATA: a dropped (face, tile) pair makes
-    that face unhittable in the dropped tile, silently corrupting the march
-    start, and the axon backend cannot emit the debug warning
-    (binning.overflow_warning), so callers must observe the flag.
+    (overflow bool[], num_rendered int32[], walked_slots int32[])). The
+    aux triple surfaces the static key-capacity overflow AS DATA: a
+    dropped (face, tile) pair makes that face unhittable in the dropped
+    tile, silently corrupting the march start, and the axon backend cannot
+    emit the debug warning (binning.overflow_warning), so callers must
+    observe the flag. ``walked_slots`` is the total slot count the kernel
+    actually scanned before the depth-window early-outs (slab-granular,
+    summed over tiles) -- a per-scene work diagnostic and the bench
+    roofline's honest kernel-visit count.
     """
     gx = (width + TILE - 1) // TILE
     gy = (height + TILE - 1) // TILE
@@ -201,9 +210,11 @@ def first_intersection_binned(verts, faces, pre, img, cam_o, ray_d,
     rayd_t = _tileify(ray_d, B, height, width, gx, gy)
     out = _run_fh_kernel(keys.starts, keys.ends, attr_tab, rayd_t,
                          n_tiles)
-    res = _untile(out, B, height, width, gx, gy)  # [B, H, W, 4]
+    # walked plane: one scalar per tile, broadcast across the (8,128) block
+    walked = jnp.sum(out[:, 4, 0, 0]).astype(jnp.int32)
+    res = _untile(out[:, :4], B, height, width, gx, gy)  # [B, H, W, 4]
     N = height * width
     res = res.reshape(B, N, 4)
     first_face = res[..., 0].astype(jnp.int32)
     return (first_face, res[..., 1], res[..., 2], res[..., 3],
-            (raw.overflow, raw.total))
+            (raw.overflow, raw.total, walked))

@@ -173,6 +173,23 @@ def _bwd_livebit() -> bool:
     return os.environ.get("DMRT_BWD_LIVEBIT", "1") == "1"
 
 
+def _bwd_zdma() -> bool:
+    """Zero the SMEM record slab by DMA instead of scalar stores
+    (DMRT_BWD_ZDMA, default ON since round 5).
+
+    Dead visits and alignment-tail slots must leave zero records. The
+    per-row scalar zeroing (NG_USED=22 SMEM stores per dead visit, VERDICT
+    r4 #2a) is replaced by ONE 4 KB DMA per slab that reads THIS slab's
+    rows of the record output buffer back into the SMEM slab: the buffer
+    is zero-initialized (donated grec_init) and every slab's row range is
+    written exactly once by its one owning tile (slab-aligned exclusive
+    slot ranges), so the readback always yields zeros. Live visits then
+    overwrite their own record; dead visits cost only the liveness branch.
+
+    A/B off: DMRT_BWD_ZDMA=0."""
+    return os.environ.get("DMRT_BWD_ZDMA", "1") == "1"
+
+
 # When True, the backward rebuilds the [cap, 128] slot attribute table from
 # the (F-scale) face table + saved keys instead of keeping it as a
 # custom_vjp residual: trades one slot-scale row gather (~9 ms at bench
@@ -760,7 +777,7 @@ def _run_fwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, n_tiles,
 # Backward kernel
 # =============================================================================
 
-def _bwd_kernel(edge_i32, livebit, starts_ref, ends_ref, *rest):
+def _bwd_kernel(edge_i32, livebit, zdma, starts_ref, ends_ref, *rest):
     rest = list(rest)
     attr_hbm = rest.pop(0)
     attr_i32_hbm = rest.pop(0) if edge_i32 else None
@@ -779,6 +796,7 @@ def _bwd_kernel(edge_i32, livebit, starts_ref, ends_ref, *rest):
     semi = rest.pop(0) if edge_i32 else None
     semb = rest.pop(0) if livebit else None
     semg = rest.pop(0)
+    semz = rest.pop(0) if zdma else None
     # grec_in_hbm is the zero-initialized record buffer, donated to
     # grec_hbm (input_output_aliases): slabs this kernel never visits stay
     # exactly zero, so the XLA-side reduction needs no validity masking.
@@ -834,6 +852,13 @@ def _bwd_kernel(edge_i32, livebit, starts_ref, ends_ref, *rest):
     def body(c):
         s, T, first, la, lr, lg, lb, ld, ar, ag, ab, ad = c
         s0 = pl.multiple_of(start + s * SLAB, SLAB)
+        r0 = pl.multiple_of(s0 // REC_PER_ROW, SLAB // REC_PER_ROW)
+        if zdma:
+            # pre-zero the record slab by DMA: this slab's output rows are
+            # still zero (see _bwd_zdma), so the readback IS the zeroing
+            cz = pltpu.make_async_copy(
+                grec_hbm.at[pl.ds(r0, SLAB // REC_PER_ROW), :], grec, semz)
+            cz.start()
         cf = pltpu.make_async_copy(
             attr_hbm.at[pl.ds(s0, SLAB), :], fslab, semf)
         cf.start()
@@ -850,21 +875,26 @@ def _bwd_kernel(edge_i32, livebit, starts_ref, ends_ref, *rest):
             ci.wait()
         if livebit:
             cb.wait()
+        if zdma:
+            cz.wait()
 
         rem = jnp.minimum(n_eff - s * SLAB, SLAB)
         base = s * SLAB
 
         def zero_row(j):
+            if zdma:  # slab pre-zeroed by the DMA readback
+                return
             for col in range(NG_USED):
                 grec[j // REC_PER_ROW, (j % REC_PER_ROW) * REC_COLS + col] \
                     = 0.0
 
-        # tail rows (alignment padding / beyond-max_nc faces) -> zero records
-        def tail_body(j, carry):
-            zero_row(j)
-            return carry
+        if not zdma:
+            # tail rows (alignment padding / beyond-max_nc faces) -> zero
+            def tail_body(j, carry):
+                zero_row(j)
+                return carry
 
-        lax.fori_loop(rem, SLAB, tail_body, 0)
+            lax.fori_loop(rem, SLAB, tail_body, 0)
 
         def face_step(jj, fs, st):
             j = rem - 1 - jj  # reverse within slab
@@ -910,7 +940,6 @@ def _bwd_kernel(edge_i32, livebit, starts_ref, ends_ref, *rest):
             rem, lambda jj: _face_scalars(fslab, rem - 1 - jj, islab),
             face_step, st)
 
-        r0 = pl.multiple_of(s0 // REC_PER_ROW, SLAB // REC_PER_ROW)
         cg_dma = pltpu.make_async_copy(
             grec, grec_hbm.at[pl.ds(r0, SLAB // REC_PER_ROW), :], semg)
         cg_dma.start()
@@ -1077,6 +1106,7 @@ def _run_bwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, fwd_t,
                     gin_t, n_tiles, cap, bits=None):
     edge_i32 = _edge_i32()
     livebit = _bwd_livebit() and bits is not None
+    zdma = _bwd_zdma()
     i32_in = [pl.BlockSpec(memory_space=pl.ANY)] if edge_i32 else []
     bit_in = [pl.BlockSpec(memory_space=pl.ANY)] if livebit else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1106,6 +1136,7 @@ def _run_bwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, fwd_t,
             + ([pltpu.SemaphoreType.DMA] if edge_i32 else [])
             + ([pltpu.SemaphoreType.DMA] if livebit else [])
             + [pltpu.SemaphoreType.DMA]
+            + ([pltpu.SemaphoreType.DMA] if zdma else [])
         ),
     )
     grec_init = jnp.zeros((cap // REC_PER_ROW, NG), jnp.float32)
@@ -1116,7 +1147,7 @@ def _run_bwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, fwd_t,
     # scalar-prefetch args too; the i32 view / bit table shift it)
     grec_idx = 7 + (1 if edge_i32 else 0) + (1 if livebit else 0)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, edge_i32, livebit),
+        functools.partial(_bwd_kernel, edge_i32, livebit, zdma),
         grid_spec=grid_spec,
         input_output_aliases={grec_idx: 0},
         out_shape=jax.ShapeDtypeStruct((cap // REC_PER_ROW, NG), jnp.float32),

@@ -48,11 +48,13 @@ def test_binned_first_hit_matches_dense():
     )
 
     kcap = default_key_capacity(B, faces.shape[0])
-    ff_b, t_b, u_b, v_b, (ovf, total) = first_intersection_binned(
+    ff_b, t_b, u_b, v_b, (ovf, total, walked) = first_intersection_binned(
         verts, facesj, pre, img, inv_mv_t[:, 3, :3], ray_d_img, H, W, B, kcap,
     )
     assert not bool(ovf)
     assert int(total) > 0
+    # the depth-window scan must walk at least every hit pixel's first slab
+    assert int(walked) > 0
 
     ff_d, ff_b = np.array(ff_d), np.array(ff_b)
     hit_d = ff_d >= 0
