@@ -732,33 +732,56 @@ def _to_rows(t):
     return t.swapaxes(1, 2).reshape(g * 128, k)
 
 
-def _mega_gather(mega, tb, gt, view_blocks):
-    """The march's per-step mega-table row gather.
+def _split_mega_views(mega, view_blocks):
+    """Materialize each view's [T*4, 64] slice of the mega table as its
+    OWN buffer (B > 1 only; None otherwise).
+
+    The B=2 march super-linearity (14.5 ms/step vs the size-linear 6.6
+    measured on ONE 800x1600 view with the identical M -- the composed
+    loop differs only in the gather's source buffer) is a gather
+    SOURCE-BUFFER effect: the multi-view table spans 2x the address range
+    and the step gather loses its coherent-rate fast path. Slicing inside
+    the gather expression does NOT help -- XLA folds ``mega[lo:hi][idx]``
+    into an offset gather from the same physical buffer (measured neutral,
+    tools/exp_b2_bq.py history) -- so the slices are pinned with
+    optimization_barrier into real per-view buffers, hoisted out of the
+    march loop as loop invariants. Each step then gathers from B=1-sized
+    sources."""
+    if view_blocks is None or view_blocks[0] == 1:
+        return None
+    B, _N = view_blocks
+    t4 = mega.shape[0] // B
+    return [lax.optimization_barrier(mega[b * t4:(b + 1) * t4])
+            for b in range(B)]
+
+
+def _mega_gather_packed(mega, megas, tb, gt, view_blocks):
+    """The march's per-step mega-table row gather, returned PACKED
+    ([G, 64, 128] via _relayout).
 
     ``view_blocks = (B, N)`` when the ray buffer is still view-contiguous
     (the full-width phase; view b owns rays [b*N, (b+1)*N), padding rides
-    view B-1): gather each view's rays from ITS [T*4, 64] slice of the
-    mega table instead of one flat gather from the [B*T*4, 64] table.
-    XLA:TPU gathers fall off a source-SIZE cliff around 64-128 MB (the
-    gather analog of the scatter target-size cliff;
-    tools/exp_gather_srcsize.py) -- at B=1 the 49 MB mega rides the fast
-    path but the flat B=2 table (98 MB) pays ~2x per row, which was the
-    whole tet B=2 super-linearity (tools/exp_b2_stages.py: march 1.86x
-    per view, first-hit/replay linear). Per-view slices keep the source
-    size constant in B. ``view_blocks=None`` (compacted tail phases mix
-    views) falls back to the flat gather -- few rows there, cliff cost
-    negligible."""
-    if view_blocks is None or view_blocks[0] == 1:
-        return mega[tb + gt]
+    view B-1): gather each view's rays from its MATERIALIZED table (see
+    _split_mega_views; ``gt`` is tet-scale and view-local, the table
+    provides the view offset) and concatenate the per-view PACKED blocks
+    -- when per-view row counts are multiples of 128 (every production
+    view size; 800^2 = 5000 * 128) this equals one relayout of the flat
+    gather bit-for-bit; otherwise the per-view row gathers concatenate
+    first and relayout once. ``megas=None`` (B == 1, or compacted tail
+    phases that mix views) takes the flat gather with the per-ray view
+    offset ``tb``."""
+    if megas is None:
+        return _relayout(mega[tb + gt], 64)
     B, N = view_blocks
-    t4 = mega.shape[0] // B
     m = gt.shape[0]
-    chunks = []
-    for b in range(B):
-        lo = b * N
-        hi = (b + 1) * N if b < B - 1 else m  # padding rides view B-1
-        chunks.append(mega[b * t4:(b + 1) * t4][gt[lo:hi]])
-    return jnp.concatenate(chunks, axis=0)
+    spans = [(b * N, (b + 1) * N if b < B - 1 else m) for b in range(B)]
+    if all((hi - lo) % 128 == 0 for lo, hi in spans):
+        return jnp.concatenate(
+            [_relayout(megas[b][gt[lo:hi]], 64)
+             for b, (lo, hi) in enumerate(spans)], axis=0)
+    rows = jnp.concatenate(
+        [megas[b][gt[lo:hi]] for b, (lo, hi) in enumerate(spans)], axis=0)
+    return _relayout(rows, 64)
 
 
 def _phased_fwd_march(state_t, consts_t, tbase, mega, log_depth, max_steps,
@@ -787,6 +810,7 @@ def _phased_fwd_march(state_t, consts_t, tbase, mega, log_depth, max_steps,
     rays, the global step index is still each ray's blend index.
     """
     sizes = _march_phase_sizes(state_t.shape[0] * 128)
+    megas = _split_mega_views(mega, view_blocks)
 
     def run(st, cst, tb, step0, level):
         g = st.shape[0]
@@ -794,6 +818,7 @@ def _phased_fwd_march(state_t, consts_t, tbase, mega, log_depth, max_steps,
             :, :, _L_CF, :].set(-1.0)
         is_last = level == len(sizes) - 1
         vb = view_blocks if level == 0 else None  # tail phases mix views
+        mgs = megas if level == 0 else None
 
         def cond(c):
             s, _log, step = c
@@ -807,7 +832,7 @@ def _phased_fwd_march(state_t, consts_t, tbase, mega, log_depth, max_steps,
         def body(c):
             s, log, step = c
             gt = s[:, _K_GT, :].reshape(-1).astype(jnp.int32)
-            mega_t = _relayout(_mega_gather(mega, tb, gt, vb), 64)
+            mega_t = _mega_gather_packed(mega, mgs, tb, gt, vb)
             out = _run_fwd_march(mega_t, cst, s)
             log = lax.dynamic_update_slice(
                 log, out[None, :, _NSF2:, :],

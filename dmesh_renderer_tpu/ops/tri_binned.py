@@ -190,6 +190,23 @@ def _bwd_zdma() -> bool:
     return os.environ.get("DMRT_BWD_ZDMA", "1") == "1"
 
 
+def _bwd_slabskip() -> bool:
+    """Skip fully-dead SLABS in the backward via per-slab liveness flags
+    (DMRT_BWD_SLABSKIP, default ON since round 5; requires the liveness
+    bits).
+
+    The per-slab flag (any live visit bit in the slab, reduced on the XLA
+    side from the forward's bit table) rides the scalar-prefetch channel,
+    so a dead slab -- no pixel blended any of its 32 faces -- costs ONE
+    SMEM scalar read and a branch instead of 3 DMAs + 32 liveness-bit
+    branches. Correct by construction: a dead slab changes no blend state
+    (T only divides at active visits) and its record rows stay zero in the
+    donated HBM buffer untouched.
+
+    A/B off: DMRT_BWD_SLABSKIP=0."""
+    return os.environ.get("DMRT_BWD_SLABSKIP", "1") == "1"
+
+
 # When True, the backward rebuilds the [cap, 128] slot attribute table from
 # the (F-scale) face table + saved keys instead of keeping it as a
 # custom_vjp residual: trades one slot-scale row gather (~9 ms at bench
@@ -777,8 +794,10 @@ def _run_fwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, n_tiles,
 # Backward kernel
 # =============================================================================
 
-def _bwd_kernel(edge_i32, livebit, zdma, starts_ref, ends_ref, *rest):
+def _bwd_kernel(edge_i32, livebit, zdma, slabskip, starts_ref, ends_ref,
+                *rest):
     rest = list(rest)
+    slabs_ref = rest.pop(0) if slabskip else None
     attr_hbm = rest.pop(0)
     attr_i32_hbm = rest.pop(0) if edge_i32 else None
     rayd_ref = rest.pop(0)
@@ -850,103 +869,118 @@ def _bwd_kernel(edge_i32, livebit, zdma, starts_ref, ends_ref, *rest):
         return c[0] >= 0
 
     def body(c):
-        s, T, first, la, lr, lg, lb, ld, ar, ag, ab, ad = c
+        s = c[0]
         s0 = pl.multiple_of(start + s * SLAB, SLAB)
         r0 = pl.multiple_of(s0 // REC_PER_ROW, SLAB // REC_PER_ROW)
-        if zdma:
-            # pre-zero the record slab by DMA: this slab's output rows are
-            # still zero (see _bwd_zdma), so the readback IS the zeroing
-            cz = pltpu.make_async_copy(
-                grec_hbm.at[pl.ds(r0, SLAB // REC_PER_ROW), :], grec, semz)
-            cz.start()
-        cf = pltpu.make_async_copy(
-            attr_hbm.at[pl.ds(s0, SLAB), :], fslab, semf)
-        cf.start()
-        if edge_i32:
-            ci = pltpu.make_async_copy(
-                attr_i32_hbm.at[pl.ds(s0, SLAB), :], islab, semi)
-            ci.start()
-        if livebit:
-            cb = pltpu.make_async_copy(
-                bits_hbm.at[pl.ds(s0 // SLAB, 1), :], bslab, semb)
-            cb.start()
-        cf.wait()
-        if edge_i32:
-            ci.wait()
-        if livebit:
-            cb.wait()
-        if zdma:
-            cz.wait()
 
-        rem = jnp.minimum(n_eff - s * SLAB, SLAB)
-        base = s * SLAB
-
-        def zero_row(j):
-            if zdma:  # slab pre-zeroed by the DMA readback
-                return
-            for col in range(NG_USED):
-                grec[j // REC_PER_ROW, (j % REC_PER_ROW) * REC_COLS + col] \
-                    = 0.0
-
-        if not zdma:
-            # tail rows (alignment padding / beyond-max_nc faces) -> zero
-            def tail_body(j, carry):
-                zero_row(j)
-                return carry
-
-            lax.fori_loop(rem, SLAB, tail_body, 0)
-
-        def face_step(jj, fs, st):
-            j = rem - 1 - jj  # reverse within slab
-
-            def skip(op):
-                # Faces nobody blended: state unchanged, zero record.
-                zero_row(j)
-                return op
-
+        def process(st_in):
+            if zdma:
+                # pre-zero the record slab by DMA: this slab's output rows
+                # are still zero (see _bwd_zdma) -- the readback IS the
+                # zeroing
+                cz = pltpu.make_async_copy(
+                    grec_hbm.at[pl.ds(r0, SLAB // REC_PER_ROW), :], grec,
+                    semz)
+                cz.start()
+            cf = pltpu.make_async_copy(
+                attr_hbm.at[pl.ds(s0, SLAB), :], fslab, semf)
+            cf.start()
+            if edge_i32:
+                ci = pltpu.make_async_copy(
+                    attr_i32_hbm.at[pl.ds(s0, SLAB), :], islab, semi)
+                ci.start()
             if livebit:
-                # branch on the forward's per-visit liveness bit (ONE
-                # SMEM scalar) BEFORE any vector work -- see _bwd_livebit
-                def cov_and_heavy(op):
-                    hitg, u, code, i0, i1, i2, mt = _coverage_and_uv(
-                        fs, px, py, dx, dy, dz)
-                    active = hitg & (base + j < nc)
+                cb = pltpu.make_async_copy(
+                    bits_hbm.at[pl.ds(s0 // SLAB, 1), :], bslab, semb)
+                cb.start()
+            cf.wait()
+            if edge_i32:
+                ci.wait()
+            if livebit:
+                cb.wait()
+            if zdma:
+                cz.wait()
+
+            rem = jnp.minimum(n_eff - s * SLAB, SLAB)
+            base = s * SLAB
+
+            def zero_row(j):
+                if zdma:  # slab pre-zeroed by the DMA readback
+                    return
+                for col in range(NG_USED):
+                    grec[j // REC_PER_ROW,
+                         (j % REC_PER_ROW) * REC_COLS + col] = 0.0
+
+            if not zdma:
+                # tail rows (alignment padding / beyond-max_nc faces) ->
+                # zero records
+                def tail_body(j, carry):
+                    zero_row(j)
+                    return carry
+
+                lax.fori_loop(rem, SLAB, tail_body, 0)
+
+            def face_step(jj, fs, st):
+                j = rem - 1 - jj  # reverse within slab
+
+                def skip(op):
+                    # Faces nobody blended: state unchanged, zero record.
+                    zero_row(j)
+                    return op
+
+                if livebit:
+                    # branch on the forward's per-visit liveness bit (ONE
+                    # SMEM scalar) BEFORE any vector work -- _bwd_livebit
+                    def cov_and_heavy(op):
+                        hitg, u, code, i0, i1, i2, mt = _coverage_and_uv(
+                            fs, px, py, dx, dy, dz)
+                        active = hitg & (base + j < nc)
+                        return _bwd_face_heavy(
+                            op, fs, active, fs["alpha"], u, i0, i1, i2,
+                            code, mt, grec, j, dx, dy, dz, g_r, g_g, g_b,
+                            g_d, bg_dot, final_T, final_pT)
+
+                    return lax.cond(bslab[0, j] > 0.0, cov_and_heavy,
+                                    skip, st)
+
+                hitg, u, code, i0, i1, i2, mt = _coverage_and_uv(
+                    fs, px, py, dx, dy, dz)
+                a = fs["alpha"]
+                active = hitg & (base + j < nc)
+
+                def heavy(op):
                     return _bwd_face_heavy(
-                        op, fs, active, fs["alpha"], u, i0, i1, i2, code,
-                        mt, grec, j, dx, dy, dz, g_r, g_g, g_b, g_d,
-                        bg_dot, final_T, final_pT)
+                        op, fs, active, a, u, i0, i1, i2, code, mt, grec,
+                        j, dx, dy, dz, g_r, g_g, g_b, g_d, bg_dot,
+                        final_T, final_pT)
 
-                return lax.cond(bslab[0, j] > 0.0, cov_and_heavy, skip, st)
+                if _bwd_nocond():
+                    # heavy is fully masked: dead visits compute the skip
+                    # path's exact zeros (see _bwd_nocond)
+                    return heavy(st)
+                return lax.cond(jnp.any(active), heavy, skip, st)
 
-            hitg, u, code, i0, i1, i2, mt = _coverage_and_uv(
-                fs, px, py, dx, dy, dz)
-            a = fs["alpha"]
-            active = hitg & (base + j < nc)
+            st = st_in
+            st = _face_loop(
+                rem, lambda jj: _face_scalars(fslab, rem - 1 - jj, islab),
+                face_step, st)
 
-            def heavy(op):
-                return _bwd_face_heavy(
-                    op, fs, active, a, u, i0, i1, i2, code, mt, grec, j,
-                    dx, dy, dz, g_r, g_g, g_b, g_d, bg_dot,
-                    final_T, final_pT)
+            cg_dma = pltpu.make_async_copy(
+                grec, grec_hbm.at[pl.ds(r0, SLAB // REC_PER_ROW), :], semg)
+            cg_dma.start()
+            cg_dma.wait()
+            return st
 
-            if _bwd_nocond():
-                # heavy is fully masked: dead visits compute the skip
-                # path's exact zeros (see _bwd_nocond)
-                return heavy(st)
-            return lax.cond(jnp.any(active), heavy, skip, st)
-
-        st = (T, first, la, lr, lg, lb, ld, ar, ag, ab, ad)
-        st = _face_loop(
-            rem, lambda jj: _face_scalars(fslab, rem - 1 - jj, islab),
-            face_step, st)
-
-        cg_dma = pltpu.make_async_copy(
-            grec, grec_hbm.at[pl.ds(r0, SLAB // REC_PER_ROW), :], semg)
-        cg_dma.start()
-        cg_dma.wait()
-
-        (T, first, la, lr, lg, lb, ld, ar, ag, ab, ad) = st
-        return (s - 1, T, first, la, lr, lg, lb, ld, ar, ag, ab, ad)
+        st_in = c[1:]
+        if slabskip:
+            # whole-slab skip on the prefetched per-slab liveness flag
+            # (see _bwd_slabskip): a dead slab leaves the blend state and
+            # its (still-zero) record rows untouched by construction
+            st_out = lax.cond(slabs_ref[s0 // SLAB] > 0, process,
+                              lambda st: st, st_in)
+        else:
+            st_out = process(st_in)
+        return (s - 1,) + tuple(st_out)
 
     lax.while_loop(cond, body, init)
 
@@ -1107,10 +1141,11 @@ def _run_bwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, fwd_t,
     edge_i32 = _edge_i32()
     livebit = _bwd_livebit() and bits is not None
     zdma = _bwd_zdma()
+    slabskip = livebit and _bwd_slabskip()
     i32_in = [pl.BlockSpec(memory_space=pl.ANY)] if edge_i32 else []
     bit_in = [pl.BlockSpec(memory_space=pl.ANY)] if livebit else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if slabskip else 2,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -1143,18 +1178,29 @@ def _run_bwd_kernel(starts, ends, attr_tab, rayd_t, pix_t, fwd_t,
     extra = ((lax.bitcast_convert_type(attr_tab, jnp.int32),)
              if edge_i32 else ())
     bits_in = (bits,) if livebit else ()
+    slab_in = ()
+    if slabskip:
+        # per-slab any-live flags for the whole-slab skip (scalar
+        # prefetch; see _bwd_slabskip). Only lanes [0, SLAB) of a bit row
+        # are ever written by the forward -- the rest of the SMEM scratch
+        # row is uninitialized garbage -- so the reduction must not read
+        # them
+        slab_in = ((jnp.max(bits[:, :SLAB], axis=1) > 0.0)
+                   .astype(jnp.int32),)
     # grec_init is donated to the output (indices count the
-    # scalar-prefetch args too; the i32 view / bit table shift it)
-    grec_idx = 7 + (1 if edge_i32 else 0) + (1 if livebit else 0)
+    # scalar-prefetch args too; the i32 view / bit table / slab flags
+    # shift it)
+    grec_idx = (7 + (1 if edge_i32 else 0) + (1 if livebit else 0)
+                + (1 if slabskip else 0))
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, edge_i32, livebit, zdma),
+        functools.partial(_bwd_kernel, edge_i32, livebit, zdma, slabskip),
         grid_spec=grid_spec,
         input_output_aliases={grec_idx: 0},
         out_shape=jax.ShapeDtypeStruct((cap // REC_PER_ROW, NG), jnp.float32),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, ends, attr_tab, *extra, rayd_t, pix_t, fwd_t, gin_t,
-      *bits_in, grec_init)
+    )(starts, ends, *slab_in, attr_tab, *extra, rayd_t, pix_t, fwd_t,
+      gin_t, *bits_in, grec_init)
 
 
 # =============================================================================
