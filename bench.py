@@ -494,12 +494,17 @@ def bench_roofline(tri_total_ms, tet_total_ms):
     tet_events, tet_steps = (float(x) for x in tet_counts())
     M = 800 * 800
 
-    # first-hit floor: attr gather rows (coherent: tile-sorted indices) +
-    # the slot sort, both at capacity scale; the kernel's per-slot-visit
-    # vector work ((8,128)-block ops, ~40/visit) only on the slots the
-    # depth-window scan actually walked
+    # first-hit floor: this stage contains the whole tet binning chain
+    # (round-3 split, tools/profile_first_hit.py: preprocess ~5, emit+sort
+    # ~10.6, attr ~2, kernel ~2.6), so the floor prices bbox emission
+    # fills (two width-1 scatters + ~2 ns/slot elementwise), the slot
+    # sort, the coherent attr gather (all at capacity scale), the F-scale
+    # preprocess vertex gathers, and the kernel's per-slot-visit vector
+    # work (~40 (8,128)-block ops) only on the slots the depth-window
+    # scan actually walked
     stage("tet_first_hit", ms_fh,
-          tkcap * (COH_NS + 2 * SORT_NS) + fh_walked * 40 * VEC_NS,
+          tkcap * (COH_NS + 2 * SORT_NS + 2 * W1_NS + 2.0)
+          + 2 * tfaces.shape[0] * ROW_NS + fh_walked * 40 * VEC_NS,
           fh_walked)
     # march floor: per full-width step one M-row mega gather (measured
     # spatially-coherent ~3 ns/row here, credited at that rate) + the
